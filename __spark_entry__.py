@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse/tokenize query on sf0.001;
+``queries()``/``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 with DuckDB oracles (see
+privacy_crawler_parser_tokenizer_spark/queries.py).
 """
 
 from __future__ import annotations
@@ -15,24 +14,33 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full parse/tokenize pipeline over sf0.001
+    documents (HTML->spans->sentences->rules), corpus rule counts."""
+    from pyspark.sql import functions as F
+
+    from privacy_crawler_parser_tokenizer_spark.pipeline import parse_tokenize
+    from privacy_crawler_parser_tokenizer_spark.sources.tables import (
+        documents_as_html,
+        load_table,
+    )
+
+    docs = documents_as_html(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    out = parse_tokenize(docs)
+    return (
+        out["rule_counts"]
+        .groupBy("rule")
+        .agg(F.sum("cnt").cast("long").alias("n_sentences"))
+        .orderBy("rule")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from privacy_crawler_parser_tokenizer_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from privacy_crawler_parser_tokenizer_spark.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,778 @@
+"""Driver-contract queries: Spark implementation + DuckDB oracle SQL.
+
+Each entry in QUERIES has a Spark callable ``(spark, sf_dir) -> DataFrame``
+and (when SQL-expressible) a DuckDB oracle in ORACLE_SQL producing the
+same columns/values on the same parquet tables.  Column names are
+aliased identically on both sides; float results are rounded; count
+results are cast to bigint on both sides (DuckDB sums promote to
+HUGEINT otherwise).
+
+Coverage maps to SURVEY.md §2: sentence rules (§2.3), dedupe/window/
+agg/sample (§2.2, §2.4), URL completion+canonicalization (§2.2), the
+full extraction pipeline with a closed-form oracle (§2.3), plus the
+training-data operators (exact/MinHash/Jaccard dedup, embedding ANN,
+quality/lang-id/fingerprint).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    canonicalize_url_col,
+    complete_link_col,
+    fingerprint_col,
+    lang_id_col,
+    minhash_col,
+    punct_ratio_col,
+    quality_score_col,
+    rule_hits_col,
+    shingles_col,
+    stopword_ratio_col,
+    word_count_col,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# sentence rules / tokenizer family (documents)
+# ---------------------------------------------------------------------------
+
+_RULES_SQL_HITS = """
+    list_filter([
+      CASE WHEN len(words) < 5 THEN 'SHORT' END,
+      CASE WHEN NOT regexp_matches(text, '^[A-Z]') THEN 'START_CAP' END,
+      CASE WHEN regexp_matches(text, '^((\\d+)|(\\d(\\.|\\-)\\d)|(\\d(\\.|\\-)\\d(\\.|\\-)\\d))(:|\\.)?\\s([A-Z]\\w+.*?)') THEN 'PRE_NOISE' END,
+      CASE WHEN NOT regexp_matches(text, '[!?.]') THEN 'END_PUNC' END,
+      CASE WHEN len(words) > 0 AND len(list_filter(words, w -> regexp_matches(w, '\\p{Lu}'))) * 1.0 / len(words) > 0.6 THEN 'HEAD_FRAG' END,
+      CASE WHEN regexp_matches(text, '^<META:.*/META>') THEN 'META' END
+    ], x -> x IS NOT NULL)
+"""
+
+_WORDS_SQL = """
+    SELECT doc_id, text,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+    FROM documents
+"""
+
+
+@query(
+    "rule_hits",
+    f"""
+    WITH w AS ({_WORDS_SQL}),
+    h AS (SELECT doc_id, {_RULES_SQL_HITS} AS hits FROM w)
+    SELECT doc_id,
+           unnest(CASE WHEN len(hits) = 0 THEN ['GOOD'] ELSE hits END) AS rule
+    FROM h
+    """,
+)
+def q_rule_hits(spark, sf_dir):
+    """Quality rules over each document text (reference:
+    src/statistics/sentences.py:81-111), fully native expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(rule_hits_col(F.col("text"))).alias("rule"))
+
+
+@query(
+    "word_counts",
+    f"""
+    SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words
+    FROM ({_WORDS_SQL})
+    """,
+)
+def q_word_counts(spark, sf_dir):
+    """reference: src/parser-tokenizer.py:225 word counting."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", word_count_col(F.col("text")).cast("long").alias("n_words")
+    )
+
+
+@query(
+    "exact_dedup",
+    """
+    SELECT doc_id,
+           (row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1) AS dup
+    FROM documents
+    """,
+)
+def q_exact_dedup(spark, sf_dir):
+    """First-writer-wins exact-text dedupe (reference policy_dict,
+    src/verification/verify.py:142-155) as a deterministic window."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return docs.select(
+        "doc_id", (F.row_number().over(w) > 1).alias("dup")
+    )
+
+
+@query(
+    "lang_freq",
+    "SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang",
+)
+def q_lang_freq(spark, sf_dir):
+    """Frequency count (reference: src/statistics/domains.py:13-20)."""
+    return _t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+_CHAR_BINS = "[0, 100, 200, 400, 800, 1600, 3200, 6400]"
+
+
+@query(
+    "char_histogram",
+    f"""
+    SELECT CAST(len(list_filter({_CHAR_BINS}, e -> e <= n_chars)) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q_char_histogram(spark, sf_dir):
+    """Fixed-edge histogram (reference: src/statistics/sentences.py:207)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        f"size(filter(array{tuple(int(x) for x in _CHAR_BINS[1:-1].split(', '))}, e -> e <= n_chars))"
+    )
+    return docs.select(bucket.cast("long").alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+_SW = "['" + "', '".join(EN_STOPWORDS) + "']"
+
+
+@query(
+    "quality_scores",
+    f"""
+    WITH w AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS lwords,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+        len(words) AS n,
+        CASE WHEN len(lwords) = 0 THEN 0.0
+             ELSE len(list_filter(lwords, x -> list_contains({_SW}, x))) * 1.0 / len(lwords) END AS swr,
+        CASE WHEN len(text) = 0 THEN 0.0
+             ELSE len(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) * 1.0 / len(text) END AS pr
+      FROM w
+    )
+    SELECT doc_id, round(
+        (CASE WHEN n >= 50 AND n <= 2000 THEN 1.0 WHEN n = 0 THEN 0.0 ELSE 0.5 END) * 0.4
+        + least(swr * 4.0, 1.0) * 0.4
+        + (1.0 - least(pr * 5.0, 1.0)) * 0.2, 6) AS q
+    FROM c
+    """,
+)
+def q_quality_scores(spark, sf_dir):
+    """Training-data quality heuristic (length/stopword/punct ratios)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score_col(F.col("text")).alias("q"))
+
+
+def _lang_id_sql() -> str:
+    parts = []
+    for lang in sorted(LANG_MARKERS):
+        markers = "['" + "', '".join(LANG_MARKERS[lang]) + "']"
+        parts.append(
+            f"len(list_filter(lwords, x -> list_contains({markers}, x))) AS c_{lang}"
+        )
+    cols = ", ".join(parts)
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"c_{la}" for la in langs) + ")"
+    case = " ".join(
+        f"WHEN c_{la} = best AND best > 0 THEN '{la}'" for la in langs
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS lwords
+      FROM documents
+    ), c AS (SELECT doc_id, {cols} FROM w),
+    b AS (SELECT *, {best} AS best FROM c)
+    SELECT doc_id, CASE {case} ELSE 'und' END AS pred_lang FROM b
+    """
+
+
+@query("lang_id", _lang_id_sql())
+def q_lang_id(spark, sf_dir):
+    """Heuristic n-gram/stopword language ID (training-data operator)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_col(F.col("text")).alias("pred_lang"))
+
+
+@query(
+    "fingerprints",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprints(spark, sf_dir):
+    """Deterministic document fingerprint (md5 of normalized text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+
+
+_N_BANDS = 4
+
+_SHINGLES_SQL = """
+    SELECT doc_id,
+           CASE WHEN len(words) < 3 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(1, len(words) - 1),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS sh
+    FROM (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS words
+      FROM documents)
+"""
+
+
+def _minhash_sql() -> str:
+    bands = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{b}:' || s))) AS mh_{b}"
+        for b in range(_N_BANDS)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh_{b} AS mh FROM m" for b in range(_N_BANDS)
+    )
+    return f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    m AS (SELECT doc_id, {bands} FROM s WHERE len(sh) > 0)
+    SELECT doc_id, CAST(band AS BIGINT) AS band, mh FROM ({unions})
+    """
+
+
+@query("minhash_bands", _minhash_sql())
+def q_minhash_bands(spark, sf_dir):
+    """MinHash signatures over word-3-gram shingles; one row per band.
+    md5-hex lexicographic min is engine-portable (no seed-dependent
+    integer hashing)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles_col(F.col("text")).alias("sh")
+    base = docs.select("doc_id", sh).filter(F.size("sh") > 0)
+    parts = [
+        base.select(
+            "doc_id",
+            F.lit(b).cast("long").alias("band"),
+            minhash_col(F.col("sh"), b).alias("mh"),
+        )
+        for b in range(_N_BANDS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "lsh_candidate_pairs",
+    f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    m AS (SELECT doc_id,
+                 {", ".join(f"list_min(list_transform(sh, s -> md5('{b}:' || s))) AS mh_{b}" for b in range(_N_BANDS))}
+          FROM s WHERE len(sh) > 0),
+    bands AS ({" UNION ALL ".join(f"SELECT doc_id, {b} AS band, mh_{b} AS mh FROM m" for b in range(_N_BANDS))})
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+    """,
+)
+def q_lsh_candidate_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidates: docs sharing any band minhash."""
+    bands = q_minhash_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, unnest(list_distinct(sh)) AS sh FROM s WHERE len(sh) > 0),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS i
+      FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jac
+    FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3
+    """,
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (>= 0.3) via shingle join."""
+    docs = _t(spark, sf_dir, "documents")
+    e = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(shingles_col(F.col("text")))).alias("sh")
+        )
+    )
+    sz = e.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    a = e.alias("a")
+    b = e.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    j = (
+        inter.join(sz.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sz.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn("jac_raw", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jac_raw") >= 0.3)
+    )
+    return j.select("a", "b", F.round("jac_raw", 6).alias("jac"))
+
+
+# ---------------------------------------------------------------------------
+# URL family (crawler §2.2) on synthesized URLs
+# ---------------------------------------------------------------------------
+
+@query(
+    "url_canonicalize",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'HTTP://Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM:80//p' ||
+             CAST(doc_id % 3 AS VARCHAR) || '/?b=' || CAST(doc_id % 5 AS VARCHAR) ||
+             '&a=1#f' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+             split_part(url, '#', 1) AS no_frag,
+             lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme
+      FROM u
+    ), rest AS (
+      SELECT *, substr(no_frag, len(scheme) + 4) AS r FROM parts
+    ), hostp AS (
+      SELECT *, lower(split_part(split_part(r, '/', 1), '?', 1)) AS hostport FROM rest
+    ), hp AS (
+      SELECT *,
+        CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
+               OR (scheme = 'https' AND hostport LIKE '%:443')
+             THEN regexp_replace(hostport, ':[0-9]+$', '') ELSE hostport END AS host,
+        substr(r, len(hostport) + 1) AS pathq
+      FROM hostp
+    ), pq AS (
+      SELECT *,
+        regexp_replace(split_part(pathq, '?', 1), '/{2,}', '/', 'g') AS path0,
+        CASE WHEN contains(pathq, '?') THEN split_part(pathq, '?', 2) ELSE '' END AS query
+      FROM hp
+    ), fin AS (
+      SELECT doc_id, url, scheme, host,
+        CASE WHEN len(path0) > 1 THEN regexp_replace(path0, '/$', '') ELSE path0 END AS path,
+        array_to_string(list_sort(list_filter(string_split(query, '&'), p -> p <> '')), '&') AS sq
+      FROM pq
+    )
+    SELECT doc_id, url,
+           scheme || '://' || host || path ||
+           CASE WHEN sq <> '' THEN '?' || sq ELSE '' END AS canon
+    FROM fin
+    """,
+)
+def q_url_canonicalize(spark, sf_dir):
+    """North-rule URL canonicalization (scheme/host lowercase, fragment
+    strip, query sort, default-port drop) as pure native expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:80//p"), (F.col("doc_id") % 3).cast("string"),
+        F.lit("/?b="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("&a=1#f"), F.col("doc_id").cast("string"),
+    ).alias("url")
+    base = docs.select("doc_id", url)
+    return base.select(
+        "doc_id", "url", canonicalize_url_col(F.col("url")).alias("canon")
+    )
+
+
+@query(
+    "complete_links",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS full_url,
+             CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 0 THEN 'http://Ext' || CAST(doc_id AS VARCHAR) || '.com/p#x'
+               WHEN 1 THEN 'page' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '//cdn' || CAST(doc_id AS VARCHAR) || '.com/r'
+               WHEN 3 THEN '/local' || CAST(doc_id AS VARCHAR) || '#y'
+               ELSE 'javascript:void(0)'
+             END AS href
+      FROM documents
+    )
+    SELECT doc_id, href,
+      split_part(
+        CASE
+          WHEN contains(href, 'http') THEN href
+          WHEN NOT href LIKE '/%' THEN full_url || '/' || href
+          WHEN href LIKE '//%' THEN 'http:' || href
+          ELSE full_url || href
+        END, '#', 1) AS completed
+    FROM h
+    """,
+)
+def q_complete_links(spark, sf_dir):
+    """Reference link completion quirks (crawler.py:123-136), native."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://site"), (F.col("doc_id") % 50).cast("string"), F.lit(".com")
+        ).alias("full_url"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("http://Ext"), F.col("doc_id").cast("string"), F.lit(".com/p#x")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("page"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("//cdn"), F.col("doc_id").cast("string"), F.lit(".com/r")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("/local"), F.col("doc_id").cast("string"), F.lit("#y")))
+        .otherwise(F.lit("javascript:void(0)"))
+        .alias("href"),
+    )
+    return base.select(
+        "doc_id", "href",
+        complete_link_col(F.col("full_url"), F.col("href")).alias("completed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operator coverage (TPC-H-ish + events)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped hash aggregation with decimal-exact sums
+    (engine-portable float determinism)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp")
+    )
+    qty = F.sum(F.col("l_quantity").cast("decimal(20,2)"))
+    price = F.sum(F.col("l_extendedprice").cast("decimal(20,2)"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        qty.cast("double").alias("sum_qty"),
+        price.cast("double").alias("sum_base_price"),
+        F.round(qty.cast("double") / F.count("*"), 6).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "top_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total_spend
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spend DESC, c.c_custkey
+    LIMIT 10
+    """,
+)
+def q_top_customers(spark, sf_dir):
+    """Broadcast join + agg + deterministic top-k."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(20,2)")).cast("double").alias("total_spend"))
+        .orderBy(F.desc("total_spend"), "c_custkey")
+        .limit(10)
+    )
+
+
+@query(
+    "region_rollup",
+    """
+    SELECT r.r_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(20,2))) AS DOUBLE) / count(*), 6) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_region_rollup(spark, sf_dir):
+    """Multi-hop broadcast joins + aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(20,2)")).cast("double") / F.count("*"), 6
+            ).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "events_neighbor_context",
+    """
+    SELECT event_id,
+           coalesce(lag(event_type)  OVER w, 'None') AS prev_type,
+           coalesce(lead(event_type) OVER w, 'None') AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_events_neighbor_context(spark, sf_dir):
+    """lag/lead neighbor context — the Spark-native re-expression of the
+    reference's prec_by/proc_by (src/parser-tokenizer.py:210-217)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        F.coalesce(F.lag("event_type").over(w), F.lit("None")).alias("prev_type"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("None")).alias("next_type"),
+    )
+
+
+@query(
+    "events_first_per_type",
+    """
+    SELECT user_id, event_type, event_id FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q_events_first_per_type(spark, sf_dir):
+    """First-writer-wins dedupe window (crawl dedupe pattern §2.2)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+@query(
+    "events_running_avg",
+    """
+    SELECT event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_avg
+    FROM events
+    """,
+)
+def q_events_running_avg(spark, sf_dir):
+    """Incremental running mean == the reference's add_link mean
+    (src/crawler.py:38-41), as an ordered window aggregate."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select("event_id", F.round(F.avg("value").over(w), 6).alias("run_avg"))
+
+
+@query(
+    "value_borderline",
+    """
+    SELECT event_id, value FROM events WHERE abs(value - 100.0) < 5.0
+    """,
+)
+def q_value_borderline(spark, sf_dir):
+    """Borderline band filter (src/verification/verify.py:259-266)."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.abs(F.col("value") - 100.0) < 5.0).select("event_id", "value")
+
+
+@query(
+    "order_outcomes",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(count(*) * 100.0 / (SELECT count(*) FROM orders), 2) AS pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_order_outcomes(spark, sf_dir):
+    """Outcome classification summary (produce_summary analog,
+    src/crawler.py:243-283)."""
+    o = _t(spark, sf_dir, "orders")
+    total = o.count()
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.count("*") * 100.0 / F.lit(total), 2).alias("pct"),
+    )
+
+
+@query(
+    "deterministic_sample",
+    "SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 = 0",
+)
+def q_deterministic_sample(spark, sf_dir):
+    """Deterministic 1-in-10 sample (random.sample analog with a
+    reproducible rule; src/statistics/sentences.py:265-272)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "n_chars")
+
+
+@query(
+    "embedding_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    s AS (
+      SELECT q.vec_id AS vec_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.embedding, e.embedding) AS cos
+      FROM q, embeddings e WHERE e.vec_id <> q.vec_id
+    )
+    SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT vec_id, neighbor_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s) WHERE rank <= 5
+    """,
+)
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline over the embedding column
+    (rank-only output: engine-portable under float noise)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").cast("array<double>").alias("qe")
+    )
+    ev = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("ee"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ee", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    pairs = (
+        qv.crossJoin(ev)
+        .filter(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("cos", dot / (norm(F.col("qe")) * norm(F.col("ee"))))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(F.col("qid").alias("vec_id"), "neighbor_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# full extraction pipeline with a closed-form oracle (documents adapter)
+# ---------------------------------------------------------------------------
+
+@query(
+    "extract_spans_pipeline",
+    """
+    SELECT doc_id, CAST(0 AS INTEGER) AS offset, 'p' AS kind,
+           trim(text) || chr(10) AS text
+    FROM documents
+    """,
+)
+def q_extract_spans_pipeline(spark, sf_dir):
+    """End-to-end HTML->span extraction through the Arrow UDF.  The
+    adapter renders each doc as a single-<p> HTML page, so the exact
+    expected output is SQL-expressible: one 'p' span per doc whose text
+    is trim(text) + newline (get_text().strip() + '\\n', reference
+    src/parser-tokenizer.py:130)."""
+    from .pipeline import extract_documents
+    from .sources.tables import documents_as_html
+
+    docs = documents_as_html(_t(spark, sf_dir, "documents"))
+    ex = extract_documents(docs)
+    return (
+        ex.select(F.col("doc_id").cast("long").alias("doc_id"), F.explode("spans").alias("s"))
+        .select("doc_id", F.col("s.offset").alias("offset"),
+                F.col("s.kind").alias("kind"), F.col("s.text").alias("text"))
+    )
+
+
+@query(
+    "sentence_pipeline",
+    f"""
+    WITH w0 AS (SELECT doc_id, trim(text) AS text FROM documents WHERE trim(text) <> ''),
+    w AS (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS words FROM w0),
+    h AS (SELECT doc_id, text, words, {_RULES_SQL_HITS} AS hits FROM w)
+    SELECT doc_id, CAST(0 AS INTEGER) AS seq_index, 'p0' AS tag,
+           'p0' AS prec_by, 'None' AS proc_by, CAST(0 AS INTEGER) AS sent_idx,
+           text, CAST(len(words) AS BIGINT) AS n_words,
+           array_to_string(CASE WHEN len(hits) = 0 THEN ['GOOD'] ELSE hits END, '-') AS rules
+    FROM h
+    """,
+)
+def q_sentence_pipeline(spark, sf_dir):
+    """The whole §3.2 dataflow (extract -> spans -> windows -> tokenize
+    -> rules) with an exact SQL oracle: single-p docs produce exactly
+    one sentence row each; prec_by wraps to itself (Python -1 quirk,
+    reference :211-213); empty docs are dropped by the parse gate."""
+    from .pipeline import parse_tokenize
+    from .sources.tables import documents_as_html
+
+    docs = documents_as_html(_t(spark, sf_dir, "documents"))
+    out = parse_tokenize(docs)
+    s = out["sentences"]
+    return s.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "seq_index", "tag", "prec_by", "proc_by", "sent_idx", "text",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.array_join("rule_hits", "-").alias("rules"),
+    )

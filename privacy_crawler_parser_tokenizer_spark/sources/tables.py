@@ -1,0 +1,62 @@
+"""Table registry / loaders for the driver-generated testdata and the
+engine's own tables.
+
+The driver testdata (TESTDATA.md) is plain parquet; the engine's state
+tables (frontier, seen, crawl_log, documents, metrics) live in a
+warehouse directory managed by ``sources.warehouse`` (Iceberg-shaped:
+snapshot manifests + parquet data; falls back cleanly because the
+Iceberg runtime jar is not available in the sandbox — SURVEY.md §7
+"Iceberg fallback").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (same names DuckDB
+    pre-registers on the oracle side)."""
+    for t in TPCH_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def documents_as_html(df: DataFrame) -> DataFrame:
+    """Adapter: the driver's flat ``documents(doc_id, text, ...)`` table
+    -> the engine's canonical HTML shape, rendering each text as a
+    single-paragraph HTML doc (FIXTURES.md §8 text->single-p-span)."""
+    from pyspark.sql import functions as F
+
+    escaped = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("<html><body><p>"), escaped, F.lit("</p></body></html>")
+        ).alias("html"),
+        F.col("text").alias("auto_text"),
+    )
