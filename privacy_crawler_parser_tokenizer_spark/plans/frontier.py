@@ -1,0 +1,679 @@
+"""Distributed URL-frontier + fetch scheduler (the north-rule engine).
+
+Implements the canonical round-synchronous crawl semantics pinned by
+``core.oracle.CrawlOracle`` (which in turn reproduces the reference
+crawler, src/crawler.py:143-241) as iterative batch DataFrame rounds:
+
+    state tables (warehouse snapshots, one per round)
+      domain_state(seed_rank, domain, full_url, phase, next_idx,
+                   depth_count, n_links, output_count, landing_ok, had_links)
+      links(seed_rank, pos, url)           -- per-domain frontier list
+      seen(href, probes, first_round)      -- raw-href URL-seen set
+      policy_seen(text_hash, seed_rank, pos, round)
+    append tables (one delta snapshot per round)
+      crawl_log, documents, metrics
+
+    per round:
+      due -> resolve request url -> robots gate -> politeness window
+      (row_number over host, seed_rank <= budget) -> salted repartition
+      by host-hash -> fetch -> strip/extract (Arrow UDFs) -> candidate
+      admission (Bloom pre-filter + left-anti vs ``seen`` + in-round
+      first-occurrence window over (seed_rank, page_pos)) -> junk filter
+      -> link completion -> in-page + in-list dedupe -> frontier append
+      -> verify (English gate + TF-IDF vs broadcast ground truth) ->
+      content first-writer dedupe -> log/doc/metric deltas -> state
+      update -> checkpoint + commit marker.
+
+The reference's racy cross-domain ``Manager()`` dicts
+(src/crawler.py:350-351) become deterministic window functions: every
+in-round conflict resolves by the commit order ``(seed_rank,
+page_pos)``, exactly as the oracle commits granted fetches in seed-rank
+order.  All cross-row logic is relational; per-doc logic (HTML parse,
+strip, TF-IDF) lives in the Arrow-batched UDF families of
+``functions.udfs`` — no per-row Python at the Spark boundary.
+
+Scale notes (10^10-URL frontier):
+  * every shuffle keys on seed_rank, host, href-hash or text-hash — no
+    driver-side data loops; the driver only counts due domains per round
+    and re-broadcasts the Bloom delta;
+  * the ``seen`` anti-join is the exactness path; the broadcast sharded
+    Bloom (operators.bloom) only skips join work for definitely-new
+    URLs, so its false positives never affect results;
+  * hot-host skew is defused twice: the politeness window bounds
+    per-host fan-out per round, and the fetch stage salts its
+    repartition by hash(host, round) (AQE handles residual skew);
+  * state snapshots per round give exact resume (crash between writes
+    replays the uncommitted round idempotently — the commit marker is
+    written last);  append tables write per-round deltas, so there is
+    no O(rounds^2) rewrite;
+  * with a real Iceberg catalog the Warehouse swaps for
+    ``writeTo().append()`` + snapshot expiry, nothing else changes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.robots import robots_allows, url_path
+from ..functions.text import (
+    complete_link_col,
+    ensure_scheme_col,
+    host_of_col,
+    is_junk_href_col,
+)
+from ..functions.udfs import (
+    broadcast_dictionary,
+    broadcast_ground_truth,
+    extract_hrefs_udf,
+    make_verify_udf,
+    strip_text_udf,
+)
+from ..operators.bloom import ShardedBloom
+from ..sources.warehouse import Warehouse
+
+STATE_TABLES = ("domain_state", "links", "seen", "policy_seen")
+DELTA_TABLES = ("crawl_log", "documents", "metrics")
+
+_STATE_SCHEMA = (
+    "seed_rank int, domain string, full_url string, phase string, "
+    "next_idx int, depth_count int, n_links int, output_count int, "
+    "landing_ok boolean, had_links boolean"
+)
+_LINKS_SCHEMA = "seed_rank int, pos int, url string"
+_SEEN_SCHEMA = "href string, probes bigint, first_round int"
+_POLICY_SCHEMA = "text_hash string, seed_rank int, pos int, round int"
+_LOG_SCHEMA = (
+    "seed_rank int, domain string, url string, discovery_rank int, "
+    "round int, sim double, fetched boolean, valid boolean, "
+    "duplicate boolean, doc_id string"
+)
+_DOCS_SCHEMA = "doc_id string, url string, html string, text string, seed_rank int, round int"
+_METRICS_SCHEMA = (
+    "round int, granted bigint, fetched bigint, new_links bigint, "
+    "policies bigint, active_domains bigint"
+)
+
+
+# ---------------------------------------------------------------------------
+# fetchers
+# ---------------------------------------------------------------------------
+
+
+class FixtureFetcher:
+    """Deterministic synthetic-web fetch: an equi-join against a
+    ``pages(url, html)`` fixture table (SURVEY.md §2.1 HTTP-source row).
+    Missing urls fetch as '' — the reference's request() returns '' on
+    any error (src/utils/utils.py:111-181)."""
+
+    def __init__(self, pages: DataFrame, fetch_partitions: int | None = None):
+        self.pages = pages.select(
+            F.col("url").alias("_fetch_url"), F.col("html").alias("_fetch_html")
+        )
+        self.fetch_partitions = fetch_partitions
+
+    def fetch(self, requests: DataFrame, round_id: int) -> DataFrame:
+        salted = _salt_by_host(requests, round_id, self.fetch_partitions)
+        out = salted.join(
+            self.pages, salted["url"] == self.pages["_fetch_url"], "left"
+        )
+        return out.withColumn(
+            "html", F.coalesce("_fetch_html", F.lit(""))
+        ).drop("_fetch_url", "_fetch_html")
+
+
+class PythonFetcher:
+    """Production-shaped fetch path: ``mapInPandas`` over salted
+    host-partitions, calling ``fetch_fn(url) -> html`` per row inside an
+    Arrow batch (one Python invocation per batch).  With a real HTTP
+    client this is where per-partition connection reuse + the (3,6)s
+    timeouts of the reference live; tests inject a dict-backed fn."""
+
+    def __init__(self, fetch_fn, fetch_partitions: int | None = None):
+        self.fetch_fn = fetch_fn
+        self.fetch_partitions = fetch_partitions
+
+    def fetch(self, requests: DataFrame, round_id: int) -> DataFrame:
+        fn = self.fetch_fn
+        out_schema = T.StructType(
+            requests.schema.fields + [T.StructField("html", T.StringType())]
+        )
+
+        def run(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["html"] = [
+                    (fn(u) or "") if u is not None else "" for u in pdf["url"]
+                ]
+                yield pdf
+
+        salted = _salt_by_host(requests, round_id, self.fetch_partitions)
+        return salted.mapInPandas(run, schema=out_schema)
+
+
+def _salt_by_host(requests: DataFrame, round_id: int,
+                  n_partitions: int | None) -> DataFrame:
+    """Salted repartition by host-hash (north rule): spreads hot hosts
+    across partitions while keeping the shuffle deterministic per
+    round.  ``None`` keeps the session's default parallelism."""
+    key = F.pmod(
+        F.hash(host_of_col(F.col("url")), F.lit(round_id)),
+        F.lit(n_partitions or requests.sparkSession.sparkContext.defaultParallelism),
+    )
+    if n_partitions:
+        return requests.repartition(n_partitions, key)
+    return requests.repartition(key)
+
+
+# ---------------------------------------------------------------------------
+# robots + bloom UDF factories
+# ---------------------------------------------------------------------------
+
+
+def make_robots_udf(spark: SparkSession, robots: dict[str, str],
+                    user_agent: str = "*"):
+    """Broadcast the robots map once; gate = vectorized UDF over url
+    batches (north-rule [NEW]; shares core.robots with the oracle).
+    At cluster scale the map becomes a broadcast-joined ``robots``
+    dimension table — same plan shape."""
+    bc = spark.sparkContext.broadcast(robots or {})
+
+    from ..core.urls import host_of
+
+    @F.pandas_udf(T.BooleanType())
+    def robots_ok(url: pd.Series) -> pd.Series:
+        table = bc.value
+        return url.map(
+            lambda u: robots_allows(table.get(host_of(u)), url_path(u), user_agent)
+        )
+
+    return robots_ok
+
+
+def make_bloom_udf(spark: SparkSession, bloom: ShardedBloom):
+    bc = spark.sparkContext.broadcast(bloom)
+
+    @F.pandas_udf(T.BooleanType())
+    def might_contain(href: pd.Series) -> pd.Series:
+        return pd.Series(bc.value.might_contain(href.fillna("")))
+
+    return might_contain
+
+
+def build_bloom_distributed(df: DataFrame, col: str,
+                            capacity: int, fpp: float = 0.01) -> ShardedBloom:
+    """Build a Bloom over ``df[col]`` with per-partition construction +
+    driver-side OR-merge (no raw-value collect): the per-round delta
+    path of the broadcast lifecycle."""
+    def per_partition(rows):
+        b = ShardedBloom(capacity, fpp)
+        vals = [r[0] for r in rows if r[0] is not None]
+        if vals:
+            b.add(pd.Series(vals, dtype="object"))
+        yield b
+
+    blooms = df.select(col).rdd.mapPartitions(per_partition).collect()
+    out = ShardedBloom(capacity, fpp)
+    for b in blooms:
+        for mine, theirs in zip(out.shards, b.shards):
+            mine.merge(theirs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the engine
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FrontierConfig:
+    threshold: float = 0.6          # cosine acceptance (crawler.py:205)
+    max_depth: int = 3              # page-expansion budget (crawler.py:196)
+    host_budget: int | None = None  # politeness: fetches/host/round
+    user_agent: str = "*"
+    bloom_capacity: int = 1 << 20
+    bloom_fpp: float = 0.01
+    use_bloom: bool = True
+    fetch_partitions: int | None = None
+    max_rounds: int = 10_000
+    keep_state_snapshots: int = 2   # expire older state snapshots
+
+
+@dataclass
+class FrontierRun:
+    warehouse: Warehouse
+    rounds: int
+    config: FrontierConfig = field(default=None)
+
+
+class FrontierCrawler:
+    """Round-loop driver.  ``run()`` starts fresh or resumes from the
+    warehouse's last committed round (exact resume)."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str, *,
+                 pages: DataFrame | None = None, fetcher=None,
+                 seeds: list[str], ground_truth: str = "",
+                 dictionary: frozenset = frozenset(),
+                 robots: dict[str, str] | None = None,
+                 config: FrontierConfig | None = None):
+        self.spark = spark
+        self.wh = Warehouse(warehouse_dir)
+        self.seeds = list(seeds)
+        self.cfg = config or FrontierConfig()
+        self.fetcher = fetcher or FixtureFetcher(pages, self.cfg.fetch_partitions)
+        self.robots_udf = make_robots_udf(spark, robots, self.cfg.user_agent)
+        self.verify_udf = make_verify_udf(
+            broadcast_ground_truth(spark, ground_truth),
+            broadcast_dictionary(spark, dictionary),
+        )
+        self.bloom = ShardedBloom(self.cfg.bloom_capacity, self.cfg.bloom_fpp)
+
+    # -- state io ---------------------------------------------------------
+    def _empty(self, schema: str) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    def _init_state(self) -> None:
+        rows = [
+            (i, d, None, "landing", 0, 0, 0, 0, False, False)
+            for i, d in enumerate(self.seeds)
+        ]
+        state = self.spark.createDataFrame(rows, _STATE_SCHEMA).withColumn(
+            "full_url", ensure_scheme_col(F.col("domain"))
+        )
+        self.wh.write(state, "domain_state", -1)
+        self.wh.write(self._empty(_LINKS_SCHEMA), "links", -1)
+        self.wh.write(self._empty(_SEEN_SCHEMA), "seen", -1)
+        self.wh.write(self._empty(_POLICY_SCHEMA), "policy_seen", -1)
+        self.wh.commit(-1, list(STATE_TABLES))
+
+    def _load(self, table: str, snapshot: int) -> DataFrame:
+        return self.wh.read(self.spark, table, snapshot)
+
+    # -- main loop --------------------------------------------------------
+    def run(self) -> FrontierRun:
+        last = self.wh.last_committed_round()
+        if last is None:
+            self._init_state()
+            last = -1
+        else:
+            # rebuild the Bloom from the committed seen set on resume
+            seen = self._load("seen", last)
+            if seen is not None and self.cfg.use_bloom:
+                self.bloom = build_bloom_distributed(
+                    seen, "href", self.cfg.bloom_capacity, self.cfg.bloom_fpp
+                )
+
+        rnd = last
+        for rnd in range(last + 1, self.cfg.max_rounds):
+            if not self._round(rnd):
+                rnd -= 1
+                break
+        return FrontierRun(self.wh, rnd + 1, self.cfg)
+
+    def _round(self, rnd: int) -> bool:
+        spark, cfg, wh = self.spark, self.cfg, self.wh
+        prev = rnd - 1
+        state = self._load("domain_state", prev)
+        links = self._load("links", prev)
+        seen = self._load("seen", prev)
+        policy_seen = self._load("policy_seen", prev)
+
+        due = state.filter(F.col("phase") != "done")
+        if due.isEmpty():
+            return False
+
+        # 1. resolve each due domain's single request url ------------------
+        link_at = links.select(
+            "seed_rank", F.col("pos").alias("next_idx"), F.col("url").alias("_link_url")
+        )
+        requests = (
+            due.join(link_at, ["seed_rank", "next_idx"], "left")
+            .withColumn(
+                "url",
+                F.when(F.col("phase") == "landing", F.col("full_url")).otherwise(
+                    F.col("_link_url")
+                ),
+            )
+            .drop("_link_url")
+            .withColumn("host", host_of_col(F.col("url")))
+            .withColumn("robots_ok", self.robots_udf(F.col("url")))
+        )
+
+        # 2. politeness window over robots-allowed requests ----------------
+        eligible = requests.filter("robots_ok")
+        if cfg.host_budget is not None:
+            w_host = Window.partitionBy("host").orderBy("seed_rank")
+            eligible = eligible.withColumn(
+                "_hrn", F.row_number().over(w_host)
+            )
+            granted = eligible.filter(F.col("_hrn") <= cfg.host_budget).drop("_hrn")
+        else:
+            granted = eligible
+        blocked = requests.filter(~F.col("robots_ok"))
+
+        # 3. fetch + strip + extract + verify (the Arrow-UDF stage) --------
+        fetched = self.fetcher.fetch(granted, rnd)
+        is_landing = F.col("phase") == "landing"
+        expanding = (F.col("contents") != "") & (
+            is_landing | (F.col("depth_count") < cfg.max_depth)
+        )
+        processed = (
+            fetched.withColumn("contents", strip_text_udf(F.col("html")))
+            .withColumn("expanding", expanding)
+            .withColumn(
+                "hrefs",
+                F.when(F.col("expanding"), extract_hrefs_udf(F.col("html"))).otherwise(
+                    F.array().cast("array<string>")
+                ),
+            )
+            .withColumn(
+                "sim_raw",
+                F.when(
+                    ~is_landing & (F.col("contents") != ""),
+                    self.verify_udf(F.col("contents")),
+                ).otherwise(F.lit(0.0)),
+            )
+            .persist()
+        )
+        processed.count()  # materialize: fetch/UDFs run exactly once
+
+        # 4. candidate admission: Bloom pre-filter + exact anti path -------
+        cand = processed.filter("expanding").select(
+            "seed_rank", "full_url", F.posexplode("hrefs").alias("page_pos", "href")
+        )
+        if cfg.use_bloom:
+            bloom_udf = make_bloom_udf(spark, self.bloom)
+            cand = cand.withColumn("_might", bloom_udf(F.col("href")))
+        else:
+            cand = cand.withColumn("_might", F.lit(True))
+        seen_keys = seen.select(F.col("href").alias("_seen_href"))
+        probed = (
+            cand.filter("_might")
+            .join(seen_keys, F.col("href") == F.col("_seen_href"), "left")
+            .withColumn("hist_seen", F.col("_seen_href").isNotNull())
+            .drop("_seen_href")
+        )
+        fresh = cand.filter(~F.col("_might")).withColumn("hist_seen", F.lit(False))
+        cand2 = probed.unionByName(fresh)
+        w_href = Window.partitionBy("href").orderBy("seed_rank", "page_pos")
+        cand2 = cand2.withColumn("probe_rank", F.row_number().over(w_href)).persist()
+
+        admitted = cand2.filter(~F.col("hist_seen") & (F.col("probe_rank") == 1))
+        new_links_raw = admitted.filter(~is_junk_href_col(F.col("href"))).withColumn(
+            "completed", complete_link_col(F.col("full_url"), F.col("href"))
+        )
+        # ordered in-page dedupe on the completed link (crawler.py:137)
+        w_page = Window.partitionBy("seed_rank", "completed").orderBy("page_pos")
+        page_links = new_links_raw.withColumn(
+            "_prn", F.row_number().over(w_page)
+        ).filter("_prn = 1")
+        # in-list dedupe against the domain's existing frontier (crawler.py:199-201)
+        page_links = page_links.join(
+            links.withColumnRenamed("url", "completed"),
+            ["seed_rank", "completed"],
+            "left_anti",
+        )
+        # positions append after the current list
+        w_append = Window.partitionBy("seed_rank").orderBy("page_pos")
+        links_delta = (
+            page_links.join(
+                state.select("seed_rank", F.col("n_links").alias("_base")), "seed_rank"
+            )
+            .withColumn("pos", (F.col("_base") + F.row_number().over(w_append) - 1).cast("int"))
+            .select("seed_rank", "pos", F.col("completed").alias("url"))
+        )
+        wh.write(links.unionByName(links_delta), "links", rnd)
+        links_new = self._load("links", rnd)
+
+        # 5. seen-set update (probe counts: insert=1st probe, bump after) --
+        round_probes = cand2.groupBy("href").agg(
+            F.count("*").alias("_cnt"), F.min("hist_seen").alias("_hist")
+        )
+        seen_new = (
+            seen.join(round_probes, "href", "full")
+            .select(
+                "href",
+                (F.coalesce(F.col("probes"), F.lit(0)) + F.coalesce(F.col("_cnt"), F.lit(0))).alias("probes"),
+                F.coalesce(F.col("first_round"), F.lit(rnd)).cast("int").alias("first_round"),
+            )
+        )
+        wh.write(seen_new, "seen", rnd)
+        if cfg.use_bloom:
+            delta = build_bloom_distributed(
+                cand2.filter(~F.col("hist_seen") & (F.col("probe_rank") == 1)),
+                "href", cfg.bloom_capacity, cfg.bloom_fpp,
+            )
+            for mine, theirs in zip(self.bloom.shards, delta.shards):
+                mine.merge(theirs)
+
+        # 6. link-visit outcomes: verify + content first-writer dedupe -----
+        visits = processed.filter(~is_landing).withColumn(
+            "text_hash",
+            F.when(F.col("contents") != "", F.sha2(F.col("contents"), 256)),
+        )
+        hist_hash = policy_seen.select(F.col("text_hash"), F.lit(True).alias("_hdup"))
+        w_hash = Window.partitionBy("text_hash").orderBy("seed_rank")
+        visits = (
+            visits.join(hist_hash, "text_hash", "left")
+            .withColumn(
+                "_rrn",
+                F.when(F.col("text_hash").isNotNull(), F.row_number().over(w_hash)),
+            )
+            .withColumn(
+                "dup",
+                F.col("text_hash").isNotNull()
+                & (F.coalesce(F.col("_hdup"), F.lit(False)) | (F.col("_rrn") > 1)),
+            )
+        ).persist()
+
+        policy_delta = visits.filter(
+            F.col("text_hash").isNotNull()
+            & (F.col("_rrn") == 1)
+            & ~F.coalesce(F.col("_hdup"), F.lit(False))
+        ).select(
+            "text_hash", "seed_rank", F.col("next_idx").alias("pos"), F.lit(rnd).alias("round")
+        )
+        wh.write(policy_seen.unionByName(policy_delta), "policy_seen", rnd)
+
+        # log rows: granted link visits + robots-blocked link requests
+        is_policy = F.col("sim_raw") >= cfg.threshold
+        visit_log = visits.select(
+            "seed_rank",
+            "domain",
+            "url",
+            F.col("next_idx").alias("discovery_rank"),
+            F.lit(rnd).alias("round"),
+            F.when(F.col("contents") == "", F.lit(0.0))
+            .when(F.col("dup"), F.lit(0.0))
+            .otherwise(F.col("sim_raw"))
+            .alias("sim"),
+            (F.col("contents") != "").alias("fetched"),
+            ((F.col("contents") != "") & is_policy).alias("valid"),
+            F.coalesce(F.col("dup"), F.lit(False)).alias("duplicate"),
+            F.when(
+                (F.col("contents") != "") & is_policy & ~F.col("dup"),
+                F.concat(
+                    F.expr("substring(domain, 1, length(domain)-4)"),
+                    F.lit("_"),
+                    (F.col("output_count") + 1).cast("string"),
+                ),
+            ).alias("doc_id"),
+        )
+        blocked_log = blocked.filter(~is_landing).select(
+            "seed_rank",
+            "domain",
+            "url",
+            F.col("next_idx").alias("discovery_rank"),
+            F.lit(rnd).alias("round"),
+            F.lit(0.0).alias("sim"),
+            F.lit(False).alias("fetched"),
+            F.lit(False).alias("valid"),
+            F.lit(False).alias("duplicate"),
+            F.lit(None).cast("string").alias("doc_id"),
+        )
+        wh.write(visit_log.unionByName(blocked_log), "crawl_log", rnd)
+        log_delta = self._load("crawl_log", rnd)
+
+        docs_delta = visits.filter(
+            (F.col("contents") != "") & is_policy & ~F.col("dup")
+        ).select(
+            F.concat(
+                F.expr("substring(domain, 1, length(domain)-4)"),
+                F.lit("_"),
+                (F.col("output_count") + 1).cast("string"),
+            ).alias("doc_id"),
+            "url",
+            "html",
+            F.col("contents").alias("text"),
+            "seed_rank",
+            F.lit(rnd).alias("round"),
+        )
+        wh.write(docs_delta, "documents", rnd)
+
+        # 7. state update ---------------------------------------------------
+        appended_counts = links_delta.groupBy("seed_rank").agg(
+            F.count("*").cast("int").alias("_appended")
+        )
+        landing_upd = processed.filter(is_landing).select(
+            "seed_rank",
+            F.lit("landing_g").alias("_branch"),
+            (F.col("contents") != "").alias("_landing_ok"),
+        )
+        link_upd = visits.select(
+            "seed_rank",
+            F.lit("link_g").alias("_branch"),
+            F.lit(None).cast("boolean").alias("_landing_ok"),
+            F.col("expanding").alias("_expanded"),
+            ((F.col("contents") != "") & is_policy & ~F.col("dup")).alias("_made_doc"),
+        )
+        blocked_upd = blocked.select(
+            "seed_rank",
+            F.when(is_landing, F.lit("landing_b")).otherwise(F.lit("link_b")).alias("_branch"),
+            F.lit(False).alias("_landing_ok"),
+        )
+        updates = (
+            landing_upd.withColumn("_expanded", F.lit(False)).withColumn("_made_doc", F.lit(False))
+            .unionByName(link_upd)
+            .unionByName(
+                blocked_upd.withColumn("_expanded", F.lit(False)).withColumn("_made_doc", F.lit(False))
+            )
+        )
+        st = (
+            state.join(updates, "seed_rank", "left")
+            .join(appended_counts, "seed_rank", "left")
+            .withColumn("_app", F.coalesce(F.col("_appended"), F.lit(0)))
+        )
+        new_n_links = (F.col("n_links") + F.col("_app")).cast("int")
+        adv = F.col("_branch").isin("link_g", "link_b")
+        new_next = (F.col("next_idx") + F.when(adv, 1).otherwise(0)).cast("int")
+        new_phase = (
+            F.when(F.col("_branch").isNull(), F.col("phase"))
+            .when(F.col("_branch") == "landing_b", F.lit("done"))
+            .when(
+                F.col("_branch") == "landing_g",
+                F.when(~F.col("_landing_ok") | (new_n_links == 0), F.lit("done")).otherwise(
+                    F.lit("active")
+                ),
+            )
+            .otherwise(
+                F.when(new_next >= new_n_links, F.lit("done")).otherwise(F.lit("active"))
+            )
+        )
+        state_new = st.select(
+            "seed_rank",
+            "domain",
+            "full_url",
+            new_phase.alias("phase"),
+            new_next.alias("next_idx"),
+            (F.col("depth_count")
+             + F.when(F.coalesce(F.col("_expanded"), F.lit(False))
+                      & (F.col("_branch") == "link_g"), 1).otherwise(0)).cast("int").alias("depth_count"),
+            new_n_links.alias("n_links"),
+            (F.col("output_count")
+             + F.when(F.coalesce(F.col("_made_doc"), F.lit(False)), 1).otherwise(0)).cast("int").alias("output_count"),
+            F.when(F.col("_branch").isin("landing_g", "landing_b"), F.col("_landing_ok"))
+            .otherwise(F.col("landing_ok")).alias("landing_ok"),
+            F.when(
+                F.col("_branch") == "landing_g",
+                F.col("_landing_ok") & (new_n_links > 0),
+            ).otherwise(F.col("had_links")).alias("had_links"),
+        )
+        wh.write(state_new, "domain_state", rnd)
+
+        # 8. metrics --------------------------------------------------------
+        n_granted = processed.count()
+        n_fetched = n_granted  # every granted request issues one fetch
+        n_new_links = links_new.count() - (links.count())
+        n_policies = log_delta.filter("valid AND NOT duplicate").count()
+        n_active = due.count()
+        metrics = spark.createDataFrame(
+            [(rnd, n_granted, n_fetched, n_new_links, n_policies, n_active)],
+            _METRICS_SCHEMA,
+        )
+        wh.write(metrics, "metrics", rnd)
+
+        wh.commit(rnd, list(STATE_TABLES + DELTA_TABLES))
+        for t in STATE_TABLES:
+            wh.expire_snapshots(t, keep=cfg.keep_state_snapshots)
+        processed.unpersist()
+        cand2.unpersist()
+        visits.unpersist()
+        return True
+
+    # -- result readers ---------------------------------------------------
+    def crawl_log(self) -> DataFrame:
+        """Full log in crawl-order parity order (seed_rank, discovery_rank)."""
+        return self._union_deltas("crawl_log", _LOG_SCHEMA).orderBy(
+            "seed_rank", "discovery_rank"
+        )
+
+    def documents(self) -> DataFrame:
+        return self._union_deltas("documents", _DOCS_SCHEMA)
+
+    def metrics(self) -> DataFrame:
+        return self._union_deltas("metrics", _METRICS_SCHEMA).orderBy("round")
+
+    def seen(self) -> DataFrame:
+        """(href, revisits): revisit count == probes - 1, matching the
+        oracle's seen-dict values (crawler.py:110-115)."""
+        last = self.wh.last_committed_round()
+        df = self.wh.read(self.spark, "seen", last)
+        if df is None:
+            return self._empty("href string, revisits bigint")
+        return df.select("href", (F.col("probes") - 1).alias("revisits"))
+
+    def outcomes(self) -> DataFrame:
+        """Domain outcome classification (crawler.py:231-236) + running
+        sim mean == avg over logged links (crawler.py:38-41)."""
+        last = self.wh.last_committed_round()
+        state = self.wh.read(self.spark, "domain_state", last)
+        log = self._union_deltas("crawl_log", _LOG_SCHEMA)
+        per_domain = log.groupBy("seed_rank").agg(
+            F.max(F.col("valid").cast("int")).alias("_any_valid"),
+            F.avg("sim").alias("sim_avg"),
+        )
+        return state.join(per_domain, "seed_rank", "left").select(
+            "seed_rank",
+            "domain",
+            F.when(~F.col("landing_ok"), "failed_access")
+            .when(~F.col("had_links"), "no_links")
+            .when(F.coalesce(F.col("_any_valid"), F.lit(0)) == 0, "failed_links")
+            .otherwise("successful")
+            .alias("outcome"),
+            F.coalesce(F.col("sim_avg"), F.lit(0.0)).alias("sim_avg"),
+        )
+
+    def _union_deltas(self, table: str, schema: str) -> DataFrame:
+        last = self.wh.last_committed_round()
+        snaps = [s for s in self.wh.snapshots(table) if last is None or s <= last]
+        if not snaps:
+            return self._empty(schema)
+        out = None
+        for s in sorted(snaps):
+            df = self.wh.read(self.spark, table, s)
+            out = df if out is None else out.unionByName(df)
+        return out

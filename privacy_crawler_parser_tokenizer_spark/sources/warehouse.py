@@ -1,0 +1,115 @@
+"""Snapshot-manifest table layer (the Iceberg fallback, SURVEY.md §7).
+
+The Iceberg runtime jar is not available in this sandbox, so engine
+state tables (frontier, seen, crawl_log, documents, metrics) use the
+same *shape* on plain parquet: a table is a directory of immutable
+snapshot data dirs plus a JSON manifest naming the current snapshot.
+
+    <root>/<table>/snap=<id>/part-*.parquet
+    <root>/<table>/manifest.json   {"current": id, "snapshots": [...]}
+
+Writes are atomic at the manifest level (write tmp + os.replace), reads
+always go through the manifest, so a crash mid-write never corrupts the
+current snapshot — exactly the property checkpoint/resume needs.  A
+round-level commit marker (``commit(round)``) records which set of
+table snapshots forms a consistent checkpoint; resume loads the last
+committed round.  Swapping this layer for real Iceberg is a config
+change (``df.writeTo(...).append()`` against a catalog) — the frontier
+code only talks to ``Warehouse``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    with os.fdopen(fd, "w") as fp:
+        json.dump(obj, fp)
+    os.replace(tmp, path)
+
+
+class Warehouse:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- table snapshots ---------------------------------------------------
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "manifest.json")
+
+    def _manifest(self, table: str) -> dict:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return {"current": None, "snapshots": []}
+        with open(p) as fp:
+            return json.load(fp)
+
+    def write(self, df: DataFrame, table: str, snapshot: int) -> None:
+        """Materialize ``df`` as snapshot ``snapshot`` of ``table`` and
+        point the manifest at it."""
+        data_dir = os.path.join(self.root, table, f"snap={snapshot}")
+        if os.path.exists(data_dir):
+            shutil.rmtree(data_dir)  # re-write of an uncommitted snapshot
+        df.write.mode("overwrite").parquet(data_dir)
+        m = self._manifest(table)
+        if snapshot not in m["snapshots"]:
+            m["snapshots"].append(snapshot)
+        m["current"] = snapshot
+        os.makedirs(os.path.dirname(self._manifest_path(table)), exist_ok=True)
+        _atomic_write_json(self._manifest_path(table), m)
+
+    def read(self, spark: SparkSession, table: str,
+             snapshot: int | None = None) -> DataFrame | None:
+        """Current (or time-travel ``snapshot``) contents; None if the
+        table/snapshot does not exist."""
+        m = self._manifest(table)
+        snap = m["current"] if snapshot is None else snapshot
+        if snap is None or snap not in m["snapshots"]:
+            return None
+        return spark.read.parquet(os.path.join(self.root, table, f"snap={snap}"))
+
+    def snapshots(self, table: str) -> list[int]:
+        return list(self._manifest(table)["snapshots"])
+
+    def expire_snapshots(self, table: str, keep: int = 2) -> None:
+        """Drop all but the newest ``keep`` snapshots (bounds disk like
+        Iceberg's expire_snapshots)."""
+        m = self._manifest(table)
+        snaps = sorted(m["snapshots"])
+        for s in snaps[:-keep] if keep else snaps:
+            if s == m["current"]:
+                continue
+            shutil.rmtree(os.path.join(self.root, table, f"snap={s}"),
+                          ignore_errors=True)
+            m["snapshots"].remove(s)
+        _atomic_write_json(self._manifest_path(table), m)
+
+    # -- round-level commit markers ---------------------------------------
+    def _commits_path(self) -> str:
+        return os.path.join(self.root, "commits.json")
+
+    def commit(self, round_id: int, tables: list[str]) -> None:
+        """Mark the set of table snapshots ``snap=round_id`` as a
+        consistent checkpoint."""
+        p = self._commits_path()
+        commits = []
+        if os.path.exists(p):
+            with open(p) as fp:
+                commits = json.load(fp)
+        commits.append({"round": round_id, "tables": tables})
+        _atomic_write_json(p, commits)
+
+    def last_committed_round(self) -> int | None:
+        p = self._commits_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as fp:
+            commits = json.load(fp)
+        return commits[-1]["round"] if commits else None

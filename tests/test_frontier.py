@@ -1,0 +1,175 @@
+"""Spark frontier engine vs the sequential oracle — exact equivalence
+(SURVEY.md §5 step 3): crawl order, URL-seen set, documents, outcomes,
+and resume-from-checkpoint identity."""
+
+import math
+
+import pytest
+
+from privacy_crawler_parser_tokenizer_spark.core import CrawlOracle
+from privacy_crawler_parser_tokenizer_spark.plans.frontier import (
+    FixtureFetcher,
+    FrontierConfig,
+    FrontierCrawler,
+    PythonFetcher,
+)
+from privacy_crawler_parser_tokenizer_spark.sources.synth import (
+    gen_web,
+    make_dictionary,
+    make_ground_truth,
+)
+
+GT = make_ground_truth()
+DICT = make_dictionary()
+
+
+def run_oracle(pages, seeds, **kw):
+    kw.setdefault("ground_truth", GT)
+    kw.setdefault("dictionary", DICT)
+    kw.setdefault("threshold", 0.3)
+    return CrawlOracle(pages, seeds, **kw).run()
+
+
+def run_frontier(spark, tmpdir, pages, seeds, *, fetcher=None, **kw):
+    cfg = FrontierConfig(
+        threshold=kw.pop("threshold", 0.3),
+        max_depth=kw.pop("max_depth", 3),
+        host_budget=kw.pop("host_budget", None),
+        bloom_capacity=1 << 12,
+        **kw.pop("config_kw", {}),
+    )
+    pages_df = spark.createDataFrame(
+        list(pages.items()) or [("", "")], "url string, html string"
+    )
+    fc = FrontierCrawler(
+        spark,
+        str(tmpdir),
+        pages=pages_df if fetcher is None else None,
+        fetcher=fetcher,
+        seeds=seeds,
+        ground_truth=GT,
+        dictionary=DICT,
+        robots=kw.pop("robots", None),
+        config=cfg,
+    )
+    fc.run()
+    return fc
+
+
+def assert_matches_oracle(fc, res):
+    # crawl-order parity: (seed_rank, discovery_rank) plus every field
+    got = [
+        (r.seed_rank, r.url, r.discovery_rank, r.round, r.fetched, r.valid,
+         r.duplicate, r.doc_id, round(r.sim, 9))
+        for r in fc.crawl_log().collect()
+    ]
+    want = [
+        (r.seed_rank, r.url, r.discovery_rank, r.round, r.fetched, r.valid,
+         r.duplicate, r.doc_id, round(r.sim, 9))
+        for r in res.crawl_log
+    ]
+    assert got == want
+
+    # URL-seen set with revisit counts (raw pre-clean hrefs)
+    got_seen = {r.href: r.revisits for r in fc.seen().collect()}
+    assert got_seen == res.seen
+
+    # emitted documents
+    got_docs = {(r.doc_id, r.url, r.text) for r in fc.documents().collect()}
+    want_docs = {(d[0], d[1], d[3]) for d in res.documents}
+    assert got_docs == want_docs
+
+    # outcome classification + running sim mean
+    for row in fc.outcomes().collect():
+        assert res.outcomes[row.domain] == row.outcome, row.domain
+        assert math.isclose(res.sim_avg[row.domain], row.sim_avg,
+                            rel_tol=0, abs_tol=1e-12), row.domain
+
+    # per-round scheduler metrics
+    got_m = [
+        (m.round, m.granted, m.fetched, m.new_links, m.policies, m.active_domains)
+        for m in fc.metrics().collect()
+    ]
+    want_m = [
+        (m["round"], m["granted"], m["fetched"], m["new_links"], m["policies"],
+         m["active_domains"])
+        for m in res.metrics
+    ]
+    assert got_m == want_m
+
+
+POLICY = (
+    "<html><body><h1>Privacy Policy</h1><p>We collect personal data and "
+    "information about cookies tracking consent rights access deletion "
+    "retention security for the service and we share information with "
+    "partners and advertising analytics providers.</p></body></html>"
+)
+
+
+def test_frontier_micro_web(spark, tmp_path):
+    landing = '<a href="/privacy">privacy</a><p>welcome to the site</p>'
+    pages = {
+        "http://a.com": landing,
+        "http://a.com/privacy": POLICY,
+        "http://b.com": landing,  # same raw href: global seen suppression
+        "http://b.com/privacy": POLICY,  # identical text: content dedupe
+    }
+    seeds = ["a.com", "b.com"]
+    res = run_oracle(pages, seeds)
+    fc = run_frontier(spark, tmp_path / "wh", pages, seeds)
+    assert_matches_oracle(fc, res)
+
+
+def test_frontier_matches_oracle_gen_web(spark, tmp_path):
+    pages, seeds, robots = gen_web(n_domains=12, seed=42)
+    res = run_oracle(pages, seeds, robots=robots, host_budget=2, max_depth=2)
+    fc = run_frontier(
+        spark, tmp_path / "wh", pages, seeds,
+        robots=robots, host_budget=2, max_depth=2,
+    )
+    assert_matches_oracle(fc, res)
+
+
+def test_frontier_no_bloom_same_result(spark, tmp_path):
+    pages, seeds, robots = gen_web(n_domains=6, seed=7)
+    res = run_oracle(pages, seeds, robots=robots, host_budget=3)
+    fc = run_frontier(
+        spark, tmp_path / "wh", pages, seeds, robots=robots, host_budget=3,
+        config_kw={"use_bloom": False},
+    )
+    assert_matches_oracle(fc, res)
+
+
+def test_frontier_python_fetcher(spark, tmp_path):
+    """mapInPandas fetch path (production shape) == fixture join path."""
+    pages, seeds, _ = gen_web(n_domains=5, seed=3)
+    res = run_oracle(pages, seeds)
+    fetcher = PythonFetcher(pages.get, fetch_partitions=3)
+    fc = run_frontier(spark, tmp_path / "wh", pages, seeds, fetcher=fetcher)
+    assert_matches_oracle(fc, res)
+
+
+def test_frontier_resume_is_exact(spark, tmp_path):
+    """Stop after N rounds, resume in a new crawler over the same
+    warehouse -> byte-identical final state vs an uninterrupted run."""
+    pages, seeds, robots = gen_web(n_domains=8, seed=11)
+    res = run_oracle(pages, seeds, robots=robots, host_budget=2)
+
+    wh = tmp_path / "wh"
+    pages_df = spark.createDataFrame(list(pages.items()), "url string, html string")
+
+    def crawler(max_rounds):
+        return FrontierCrawler(
+            spark, str(wh), pages=pages_df, seeds=seeds,
+            ground_truth=GT, dictionary=DICT, robots=robots,
+            config=FrontierConfig(threshold=0.3, host_budget=2,
+                                  bloom_capacity=1 << 12, max_rounds=max_rounds),
+        )
+
+    first = crawler(max_rounds=2)
+    first.run()
+    assert first.wh.last_committed_round() == 1  # stopped mid-crawl
+
+    resumed = crawler(max_rounds=10_000)
+    resumed.run()
+    assert_matches_oracle(resumed, res)
