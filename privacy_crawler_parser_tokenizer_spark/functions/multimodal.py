@@ -1,0 +1,153 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with typed metadata structs —
+the north rule's "interleaved text + media" documents carry
+``kind='media'`` spans whose ``media_ref`` points into a ``media``
+table:
+
+    media(doc_id STRING, media_ref STRING, fmt STRING, content BINARY)
+
+Spark-side plumbing (schemas, partitioning, mapInPandas batch shape,
+UDF signatures) is real and tested; the *codec* step is stubbed because
+no image/audio libraries exist in this container: ``decode_media``
+tries Pillow and falls back to ``FakeCodec`` — a deterministic,
+clearly-marked stand-in that derives dimensions/features from the raw
+bytes so tests are reproducible.  Swapping in a real decoder touches
+only ``_decode_one``.
+
+Scale notes: decode/feature stages are ``mapInPandas`` over the media
+table repartitioned by ``media_ref`` hash (bytes never shuffle twice);
+features come back as fixed-width ``array<float>`` ready for the ANN
+operators in queries.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = "doc_id string, media_ref string, fmt string, content binary"
+
+DECODED_SCHEMA = (
+    "doc_id string, media_ref string, fmt string, width int, height int, "
+    "n_channels int, n_bytes long, ok boolean"
+)
+
+FEATURE_DIM = 16
+FEATURES_SCHEMA = (
+    "doc_id string, media_ref string, feature array<float>"
+)
+
+
+class FakeCodec:
+    """Deterministic stand-in for an image codec (STUB — no Pillow in
+    this container).  Dimensions/channels derive from a content hash so
+    every engine run and test sees identical values."""
+
+    @staticmethod
+    def decode(content: bytes) -> tuple[int, int, int]:
+        h = hashlib.sha256(content or b"").digest()
+        width = 16 + h[0] * 4
+        height = 16 + h[1] * 4
+        channels = 1 + h[2] % 4
+        return width, height, channels
+
+    @staticmethod
+    def features(content: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+        """Byte-histogram 'embedding': real feature-extractor batch
+        shape, deterministic values."""
+        arr = np.frombuffer(content or b"\x00", dtype=np.uint8)
+        hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+        total = hist.sum() or 1
+        return (hist / total).astype(np.float32)
+
+
+def _decode_one(content: bytes) -> tuple[int, int, int, bool]:
+    try:  # real codec path, absent in this container
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        img = Image.open(io.BytesIO(content))
+        return img.width, img.height, len(img.getbands()), True
+    except Exception:
+        w, h, c = FakeCodec.decode(content)
+        return w, h, c, False
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media fixtures from the documents table: the text
+    bytes become the opaque payload (tests/benches only)."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.when(F.col("doc_id") % 3 == 0, "png")
+        .when(F.col("doc_id") % 3 == 1, "jpeg")
+        .otherwise("webp")
+        .alias("fmt"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+
+
+def decode_media(media: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """media table -> decoded metadata via mapInPandas (one Python call
+    per Arrow batch; bytes stay executor-side)."""
+
+    def run(batches):
+        for pdf in batches:
+            meta = [
+                _decode_one(bytes(c) if c is not None else b"")
+                for c in pdf["content"]
+            ]
+            out = pd.DataFrame(
+                meta, columns=["width", "height", "n_channels", "ok"]
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "media_ref", pdf["media_ref"].values)
+            out.insert(2, "fmt", pdf["fmt"].values)
+            out["n_bytes"] = [
+                len(c) if c is not None else 0 for c in pdf["content"]
+            ]
+            yield out[
+                ["doc_id", "media_ref", "fmt", "width", "height",
+                 "n_channels", "n_bytes", "ok"]
+            ]
+
+    df = media
+    if n_partitions:
+        df = df.repartition(n_partitions, F.hash("media_ref"))
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """media table -> fixed-width float features (ANN-ready)."""
+
+    def run(batches):
+        for pdf in batches:
+            feats = [
+                FakeCodec.features(bytes(c) if c is not None else b"", dim).tolist()
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def frame_sample_offsets(n_bytes: F.Column, n_frames: int = 4) -> F.Column:
+    """Video frame-sampling plumbing (STUB decode): deterministic evenly
+    spaced byte offsets as native expressions — the real sampler would
+    seek these offsets inside the codec UDF."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: (n_bytes * i / n_frames).cast("long"),
+    )

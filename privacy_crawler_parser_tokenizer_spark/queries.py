@@ -366,6 +366,255 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# more training-data operators: token counting, SimHash, sessionization,
+# multimodal metadata, embedding near-dup / IVF / sign-LSH ANN
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = r"\p{L}+|\p{N}|[^\s\p{L}\p{N}]"
+
+
+@query(
+    "token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark, sf_dir):
+    """BPE-ish token counting: letters runs, single digits, punctuation
+    singles (the GPT-2 pre-tokenizer shape), fully native regex."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+# 16-bit SimHash: per-word hash from the first 4 md5 nibbles (engine-
+# portable: md5/instr/substr/% behave identically in Spark and DuckDB)
+_NIB = "(instr('0123456789abcdef', substr(md5(w), {k}, 1)) - 1)"
+_H16 = " + ".join(
+    f"{_NIB.format(k=k)} * {16 ** (4 - k)}" for k in range(1, 5)
+)
+_SIM_SUMS = ", ".join(
+    f"sum(CASE WHEN h % {1 << (j + 1)} >= {1 << j} THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(16)
+)
+_SIM_VAL = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+
+
+@query(
+    "simhash",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    h AS (SELECT doc_id, {_H16} AS h FROM w),
+    s AS (SELECT doc_id, {_SIM_SUMS} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIM_VAL} AS BIGINT) AS simhash FROM s
+    """,
+)
+def q_simhash(spark, sf_dir):
+    """SimHash near-dup fingerprint (16-bit, md5-nibble word hashes):
+    explode words -> per-bit +/-1 majority vote -> bit assembly.  All
+    native expressions; the identical arithmetic runs in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    e = (
+        docs.filter(F.trim("text") != "")
+        .select("doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .withColumn("h", F.expr(_H16))
+    )
+    g = e.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN h % {1 << (j + 1)} >= {1 << j} THEN 1 ELSE -1 END")
+            ).alias(f"s{j}")
+            for j in range(16)
+        ]
+    )
+    return g.select("doc_id", F.expr(_SIM_VAL).cast("long").alias("simhash"))
+
+
+@query(
+    "sessionize",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+    FROM (
+      SELECT event_id, user_id, ts,
+             epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+      FROM events)
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """30-minute-gap sessionization (stateful stream operator expressed
+    as a cumulative window; the Structured Streaming twin lives in
+    streaming/)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    news = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("_new", news)
+        .withColumn("session_id", F.sum("_new").over(w).cast("long"))
+        .select("event_id", "user_id", "session_id")
+    )
+
+
+@query(
+    "media_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                ELSE 'webp' END AS fmt
+    FROM documents
+    """,
+)
+def q_media_meta(spark, sf_dir):
+    """Multimodal column plumbing: text payload -> opaque binary column
+    -> typed metadata.  The (stubbed) decoder UDFs live in
+    functions/multimodal.py; this query checks the schema/byte-length
+    path end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    bin_col = F.encode("text", "UTF-8")
+    n = F.length(bin_col).cast("long")
+    return docs.select(
+        "doc_id",
+        n.alias("n_bytes"),
+        (n % 640 + 1).alias("width"),
+        (n % 480 + 1).alias("height"),
+        F.when(F.col("doc_id") % 3 == 0, "png")
+        .when(F.col("doc_id") % 3 == 1, "jpeg")
+        .otherwise("webp")
+        .alias("fmt"),
+    )
+
+
+def _cos_spark(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    n1 = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    n2 = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return dot / (n1 * n2)
+
+
+@query(
+    "embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
+    """,
+)
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, bucketed by label so the
+    pair join is block-local (the 100TB path buckets by coarse quantizer
+    instead of a full cross join).  Pair-id output only: rank/set
+    semantics are float-noise-proof."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = _cos_spark(F.col("a.emb"), F.col("b.emb"))
+    return pairs.filter(cos >= 0.3).select(
+        F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b")
+    )
+
+
+@query(
+    "ivf_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+        FROM e, c) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, cid FROM assign WHERE vec_id >= 8 AND vec_id < 18)
+    SELECT qid AS vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q.qid, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(qe.emb, e.emb) DESC, e.vec_id) AS rank
+      FROM q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.qid
+      JOIN e ON e.vec_id = a.vec_id
+      JOIN e qe ON qe.vec_id = q.qid)
+    WHERE rank <= 3
+    """,
+)
+def q_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse quantization against 8 fixed centroids
+    (vec_id < 8), then exact top-k inside the query's own cell only —
+    the scale path where a full scan is replaced by one-cell probes."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "cid")
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("_cos", _cos_spark(F.col("emb"), F.col("cemb")))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter("_rn = 1")
+        .select("vec_id", "cid", "emb")
+    )
+    q = assign.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 18)).select(
+        F.col("vec_id").alias("qid"), F.col("cid").alias("qcid"), F.col("emb").alias("qe")
+    )
+    cand = q.join(
+        assign.select(F.col("vec_id").alias("neighbor_id"), "cid", F.col("emb").alias("ne")),
+        (F.col("cid") == F.col("qcid")) & (F.col("neighbor_id") != F.col("qid")),
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("_cos"), "neighbor_id")
+    return (
+        cand.withColumn("_cos", _cos_spark(F.col("qe"), F.col("ne")))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(F.col("qid").alias("vec_id"), "neighbor_id", "rank")
+    )
+
+
+@query(
+    "sign_lsh_buckets",
+    """
+    SELECT vec_id,
+           list_aggregate(list_transform(embedding[1:8],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
+    FROM embeddings
+    """,
+)
+def q_sign_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucketing over the first 8 dimensions (random-hyperplane
+    LSH with axis-aligned planes): the bucket key that turns ANN into an
+    equi-join at scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = F.concat_ws(
+        "",
+        F.transform(
+            F.slice("embedding", 1, 8),
+            lambda x: F.when(x >= 0, "1").otherwise("0"),
+        ),
+    )
+    return emb.select("vec_id", bucket.alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
 # URL family (crawler §2.2) on synthesized URLs
 # ---------------------------------------------------------------------------
 
@@ -713,6 +962,44 @@ def q_embedding_topk(spark, sf_dir):
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
         .select(F.col("qid").alias("vec_id"), "neighbor_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# frontier crawl (iterative multi-round plan; rows-only check — the exact
+# correctness gate is tests/test_frontier.py's oracle equivalence)
+# ---------------------------------------------------------------------------
+
+@query("frontier_crawl")
+def q_frontier_crawl(spark, sf_dir):
+    """Full distributed frontier crawl over a deterministic synthetic
+    web sized by the documents table (SURVEY.md §2.2); returns the
+    crawl log in crawl-order parity order.  No SQL oracle: the
+    round-loop is not SQL-expressible; parity vs the sequential oracle
+    is asserted in tests/test_frontier.py."""
+    import tempfile
+
+    from .plans.frontier import FrontierConfig, FrontierCrawler
+    from .sources.synth import gen_web, make_dictionary, make_ground_truth
+
+    n_docs = _t(spark, sf_dir, "documents").count()
+    n_domains = max(20, min(n_docs // 5, 2000))
+    pages, seeds, robots = gen_web(n_domains=n_domains, seed=42)
+    fc = FrontierCrawler(
+        spark,
+        tempfile.mkdtemp(prefix="pcpt-frontier-"),
+        pages=spark.createDataFrame(list(pages.items()), "url string, html string"),
+        seeds=seeds,
+        ground_truth=make_ground_truth(),
+        dictionary=make_dictionary(),
+        robots=robots,
+        config=FrontierConfig(threshold=0.3, max_depth=2, host_budget=8,
+                              bloom_capacity=1 << 16),
+    )
+    fc.run()
+    return fc.crawl_log().select(
+        "seed_rank", "domain", "url", "discovery_rank", "round",
+        F.round("sim", 9).alias("sim"), "fetched", "valid", "duplicate", "doc_id",
     )
 
 

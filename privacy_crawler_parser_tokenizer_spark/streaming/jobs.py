@@ -1,0 +1,214 @@
+"""Structured Streaming twins of the batch pipeline (SURVEY.md §2.5
+"Streaming-only": the reference is pure batch; these are the engine's
+[NEW] incremental surfaces for continuously-arriving crawl output).
+
+The batch pipeline's lag/lead windows are not available on streaming
+DataFrames, so the streaming sentence path computes neighbor context
+*array-locally* inside each document's span array with higher-order
+functions — bit-identical to the batch windows (verified in tests) and
+fully incremental: the whole dataflow is map-only until the optional
+windowed aggregation, so Spark runs it with no state at all.
+
+Jobs:
+  * ``sentences_stream``     file-source documents -> sentence rows
+  * ``windowed_rule_counts`` event-time window + watermark aggregation
+  * ``sessionize_stateful``  applyInPandasWithState session assignment
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions.text import rule_hits_col, word_count_col
+from ..functions.udfs import extract_doc_udf, sentences_udf
+
+DOCS_STREAM_SCHEMA = "doc_id string, html string, ts timestamp"
+
+
+def read_documents_stream(spark: SparkSession, src_dir: str,
+                          max_files: int | None = None) -> DataFrame:
+    reader = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files or 16)
+    )
+    return reader.parquet(src_dir)
+
+
+def spans_with_context(docs: DataFrame) -> DataFrame:
+    """Streaming-safe spans table: per-kind tag_index and prec_by/
+    proc_by computed inside each document's span array (no window
+    functions).  Replicates the batch quirks exactly: tag label
+    kind||tag_index, Python ``-1`` wraparound for the first span's
+    predecessor, 'None' past the end (reference:
+    src/parser-tokenizer.py:84-100,210-217)."""
+    ex = docs.withColumn(
+        "_ex", extract_doc_udf(F.col("html"), F.lit(None).cast("string"))
+    ).select("*", F.col("_ex.spans").alias("spans")).drop("_ex")
+
+    tagged = ex.withColumn(
+        "_tagged",
+        F.expr(
+            """
+            transform(spans, (s, i) -> named_struct(
+              'kind', s.kind, 'text', s.text, 'media_ref', s.media_ref,
+              'offset', s.offset,
+              'tag', concat(s.kind, cast(
+                 size(filter(slice(spans, 1, i + 1), p -> p.kind = s.kind)) - 1
+                 AS string))))
+            """
+        ),
+    )
+    with_ctx = tagged.withColumn(
+        "_ctx",
+        F.expr(
+            """
+            transform(_tagged, (s, i) -> named_struct(
+              'kind', s.kind, 'text', s.text, 'media_ref', s.media_ref,
+              'offset', s.offset, 'tag', s.tag,
+              'prec_by', CASE WHEN i = 0
+                              THEN element_at(_tagged, -1).tag
+                              ELSE _tagged[i - 1].tag END,
+              'proc_by', CASE WHEN i = size(_tagged) - 1 THEN 'None'
+                              ELSE _tagged[i + 1].tag END))
+            """
+        ),
+    )
+    return with_ctx.select(
+        "doc_id",
+        *([c for c in docs.columns if c not in ("doc_id", "html")]),
+        F.explode("_ctx").alias("s"),
+    ).select(
+        "*",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+        F.col("s.tag").alias("tag"),
+        F.col("s.prec_by").alias("prec_by"),
+        F.col("s.proc_by").alias("proc_by"),
+    ).drop("s")
+
+
+def sentences_stream(docs: DataFrame) -> DataFrame:
+    """Incremental sentence rows with quality rules — same schema as the
+    batch sentences table (minus the doc-level parse gate, which needs
+    no state either: it is computed per-doc in the extraction UDF)."""
+    spans = spans_with_context(docs).filter(F.col("kind").isin("p", "h"))
+    sent = spans.withColumn("sents", sentences_udf(F.col("text"))).select(
+        "doc_id",
+        *([c for c in spans.columns if c in ("ts",)]),
+        F.col("offset").alias("seq_index"),
+        "tag",
+        "prec_by",
+        "proc_by",
+        F.posexplode("sents").alias("sent_idx", "sentence"),
+    )
+    return sent.select(
+        "doc_id",
+        *([c for c in sent.columns if c in ("ts",)]),
+        "seq_index",
+        "tag",
+        "prec_by",
+        "proc_by",
+        "sent_idx",
+        F.col("sentence").alias("text"),
+        word_count_col(F.col("sentence")).alias("n_words"),
+        rule_hits_col(F.col("sentence")).alias("rule_hits"),
+    )
+
+
+def windowed_rule_counts(sentences: DataFrame, window: str = "1 minute",
+                         watermark: str = "2 minutes") -> DataFrame:
+    """Event-time windowed rule histogram with late-data watermark."""
+    return (
+        sentences.withWatermark("ts", watermark)
+        .select("ts", F.explode("rule_hits").alias("rule"))
+        .groupBy(F.window("ts", window).alias("win"), "rule")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "rule", "cnt")
+    )
+
+
+# -- stateful sessionization (applyInPandasWithState) -----------------------
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("session_id", LongType()),
+    ]
+)
+SESSION_STATE_SCHEMA = StructType(
+    [StructField("last_epoch", LongType()), StructField("session_id", LongType())]
+)
+SESSION_GAP_S = 1800
+
+
+def _assign_sessions(key, pdf_iter: Iterator[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    last_epoch, session_id = state.get if state.exists else (None, 0)
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        epochs = (pdf["ts"].astype("int64") // 10**9).tolist()
+        sessions = []
+        for e in epochs:
+            if last_epoch is None or e - last_epoch > SESSION_GAP_S:
+                session_id += 1
+            last_epoch = e
+            sessions.append(session_id)
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "event_id": pdf["event_id"].values,
+                "ts": pdf["ts"].values,
+                "session_id": sessions,
+            }
+        )
+    state.update((last_epoch, session_id))
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator over an events stream: per-user session
+    ids with a 30-min inactivity gap, state carried across micro-batches
+    via applyInPandasWithState (the batch twin is queries.py
+    'sessionize', asserted equal in tests)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _assign_sessions,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "append") -> None:
+    """Drain a stream with the availableNow trigger into a memory sink
+    (test/bench helper).  Windowed aggregations should use
+    ``output_mode='complete'`` — in append mode, windows newer than the
+    watermark stay buffered and never emit in a finite run."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

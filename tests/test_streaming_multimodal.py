@@ -1,0 +1,136 @@
+"""Streaming jobs (batch-equivalence) + multimodal plumbing tests."""
+
+import pandas as pd
+import pytest
+
+from privacy_crawler_parser_tokenizer_spark.functions import multimodal as mm
+from privacy_crawler_parser_tokenizer_spark.pipeline import (
+    extract_documents,
+    sentences_table,
+    spans_table,
+)
+from privacy_crawler_parser_tokenizer_spark.streaming import jobs
+
+HTML_DOCS = [
+    ("d1", "<html><body><h1>Privacy Policy</h1><p>We collect data. "
+           "We share it.</p><ul><li>cookies</li><li>beacons</li></ul>"
+           "<p>Contact us!</p></body></html>"),
+    ("d2", "<html><body><p>Short one.</p></body></html>"),
+    ("d3", "<html><body><h2>Terms</h2><p>No policy here at all, "
+           "just words without end</p></body></html>"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream-docs")
+    rows = [
+        (doc_id, html,
+         (pd.Timestamp("2026-01-01 00:00:00") + pd.Timedelta(minutes=i)).to_pydatetime())
+        for i, (doc_id, html) in enumerate(HTML_DOCS)
+    ]
+    spark.createDataFrame(rows, jobs.DOCS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+    return str(d)
+
+
+def test_streaming_sentences_equal_batch(spark, docs_dir):
+    """The window-free array-local context path must equal the batch
+    lag/lead windows row for row."""
+    stream = jobs.sentences_stream(jobs.read_documents_stream(spark, docs_dir))
+    assert stream.isStreaming
+    jobs.run_to_memory(stream, "sent_stream")
+    got = {
+        (r.doc_id, r.seq_index, r.tag, r.prec_by, r.proc_by, r.sent_idx, r.text,
+         r.n_words, tuple(r.rule_hits))
+        for r in spark.table("sent_stream").collect()
+    }
+
+    batch_docs = spark.read.parquet(docs_dir).select("doc_id", "html")
+    ex = extract_documents(batch_docs, auto_text=False)
+    batch = sentences_table(spans_table(ex))
+    want = {
+        (r.doc_id, r.seq_index, r.tag, r.prec_by, r.proc_by, r.sent_idx, r.text,
+         r.n_words, tuple(r.rule_hits))
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 3
+
+
+def test_streaming_windowed_rule_counts(spark, docs_dir):
+    stream = jobs.sentences_stream(jobs.read_documents_stream(spark, docs_dir))
+    win = jobs.windowed_rule_counts(stream, window="1 minute", watermark="0 seconds")
+    jobs.run_to_memory(win, "win_counts", output_mode="complete")
+    rows = spark.table("win_counts").collect()
+    # 3 docs at minutes 0,1,2 -> at least one window per doc's minute
+    assert len({r.win_start for r in rows}) == 3
+    assert sum(r.cnt for r in rows) > 0
+
+
+def test_stateful_sessionize_matches_batch(spark):
+    events = [
+        (1, 100, "2026-01-01 10:00:00"),
+        (1, 101, "2026-01-01 10:10:00"),
+        (1, 102, "2026-01-01 11:30:00"),   # gap > 30min -> new session
+        (2, 200, "2026-01-01 09:00:00"),
+        (2, 201, "2026-01-01 09:20:00"),
+    ]
+    pdf = pd.DataFrame(events, columns=["user_id", "event_id", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    src = spark.createDataFrame(pdf)
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pcpt-ev-")
+    src.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp").parquet(d)
+    )
+    out = jobs.sessionize_stateful(stream)
+    jobs.run_to_memory(out, "sessions")
+    got = {
+        (r.user_id, r.event_id, r.session_id)
+        for r in spark.table("sessions").collect()
+    }
+    assert got == {
+        (1, 100, 1), (1, 101, 1), (1, 102, 2), (2, 200, 1), (2, 201, 1),
+    }
+
+
+def test_multimodal_decode_and_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello media world"), (2, ""), (3, "payload three")],
+        "doc_id long, text string",
+    )
+    media = mm.synthesize_media(docs)
+    assert media.schema.simpleString() == (
+        "struct<doc_id:string,media_ref:string,fmt:string,content:binary>"
+    )
+
+    decoded = mm.decode_media(media, n_partitions=2).collect()
+    assert len(decoded) == 3
+    for r in decoded:
+        assert r.width >= 16 and r.height >= 16 and 1 <= r.n_channels <= 4
+        assert not r.ok  # stub codec path (no Pillow in container)
+    by_id = {r.doc_id: r for r in decoded}
+    assert by_id["1"].n_bytes == len("hello media world")
+    assert by_id["2"].n_bytes == 0
+
+    # determinism: same bytes -> same fake dimensions
+    again = {r.doc_id: (r.width, r.height) for r in mm.decode_media(media).collect()}
+    assert again == {r.doc_id: (r.width, r.height) for r in decoded}
+
+    feats = mm.media_features(media).collect()
+    assert all(len(r.feature) == mm.FEATURE_DIM for r in feats)
+    s = sum(by_id_f := feats[0].feature)
+    assert abs(s - 1.0) < 1e-5  # histogram normalized
+
+
+def test_frame_sample_offsets(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        mm.frame_sample_offsets(F.lit(1000), n_frames=4).alias("offs")
+    )
+    assert df.collect()[0].offs == [0, 250, 500, 750]
