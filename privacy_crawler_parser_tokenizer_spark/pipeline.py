@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .functions.text import rule_hits_col, word_count_col
+from .functions.text import (
+    rule_hits_col,
+    spans_context_col,
+    spans_tagged_col,
+    word_count_col,
+)
 from .functions.udfs import extract_doc_udf, sentences_udf
 
 RESIDUAL_TOLERANCE = 5  # reference: src/parser-tokenizer.py:306
@@ -54,12 +59,40 @@ def extract_documents(docs: DataFrame, auto_text: bool = True) -> DataFrame:
 
 
 def spans_table(extracted: DataFrame) -> DataFrame:
-    """Explode spans and add per-kind tag_index + neighbor context.
+    """Explode spans with per-kind tag_index + neighbor context.
 
     tag label = kind || tag_index (reference 'p3' style,
     parser-tokenizer.py:87,225).  prec_by replicates the Python ``-1``
     wraparound (first span's predecessor is the LAST span, :87,211-213);
-    proc_by is 'None' past the end (IndexError branch)."""
+    proc_by is 'None' past the end (IndexError branch).
+
+    Context is computed array-locally (functions.text.spans_tagged_col)
+    BEFORE the explode — zero shuffles, vs 2-3 doc_id exchanges for the
+    equivalent lag/lead window formulation.  spans_table_windowed keeps
+    the window twin as an executable cross-check."""
+    return (
+        extracted.withColumn("_tagged", spans_tagged_col("spans"))
+        .withColumn("_ctx", spans_context_col())
+        .select("doc_id", F.explode("_ctx").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+            F.col("s.tag_index").alias("tag_index"),
+            F.col("s.tag").alias("tag"),
+            F.col("s.prec_by").alias("prec_by"),
+            F.col("s.proc_by").alias("proc_by"),
+        )
+    )
+
+
+def spans_table_windowed(extracted: DataFrame) -> DataFrame:
+    """lag/lead window formulation of spans_table — SURVEY.md §2.3's
+    direct mapping of the reference's prec_by/proc_by.  Semantically
+    identical (asserted in tests); kept for the operator-inventory row
+    and as the shape to use when spans arrive pre-exploded."""
     w_doc = Window.partitionBy("doc_id").orderBy("offset")
     w_kind = Window.partitionBy("doc_id", "kind").orderBy("offset")
     w_full = Window.partitionBy("doc_id").orderBy("offset").rowsBetween(

@@ -53,37 +53,14 @@ def spans_with_context(docs: DataFrame) -> DataFrame:
     kind||tag_index, Python ``-1`` wraparound for the first span's
     predecessor, 'None' past the end (reference:
     src/parser-tokenizer.py:84-100,210-217)."""
+    from ..functions.text import spans_context_col, spans_tagged_col
+
     ex = docs.withColumn(
         "_ex", extract_doc_udf(F.col("html"), F.lit(None).cast("string"))
     ).select("*", F.col("_ex.spans").alias("spans")).drop("_ex")
 
-    tagged = ex.withColumn(
-        "_tagged",
-        F.expr(
-            """
-            transform(spans, (s, i) -> named_struct(
-              'kind', s.kind, 'text', s.text, 'media_ref', s.media_ref,
-              'offset', s.offset,
-              'tag', concat(s.kind, cast(
-                 size(filter(slice(spans, 1, i + 1), p -> p.kind = s.kind)) - 1
-                 AS string))))
-            """
-        ),
-    )
-    with_ctx = tagged.withColumn(
-        "_ctx",
-        F.expr(
-            """
-            transform(_tagged, (s, i) -> named_struct(
-              'kind', s.kind, 'text', s.text, 'media_ref', s.media_ref,
-              'offset', s.offset, 'tag', s.tag,
-              'prec_by', CASE WHEN i = 0
-                              THEN element_at(_tagged, -1).tag
-                              ELSE _tagged[i - 1].tag END,
-              'proc_by', CASE WHEN i = size(_tagged) - 1 THEN 'None'
-                              ELSE _tagged[i + 1].tag END))
-            """
-        ),
+    with_ctx = ex.withColumn("_tagged", spans_tagged_col("spans")).withColumn(
+        "_ctx", spans_context_col()
     )
     return with_ctx.select(
         "doc_id",

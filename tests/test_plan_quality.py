@@ -1,0 +1,99 @@
+"""Physical-plan regression tests: pushdown, pruning, broadcast,
+partial aggregation, shuffle budgets — the properties that make the
+same code survive a 100x scale-up (SURVEY.md §4)."""
+
+import pytest
+
+from privacy_crawler_parser_tokenizer_spark.plans.introspect import (
+    codegen_stage_count,
+    formatted_plan,
+    has_broadcast_join,
+    has_partial_aggregation,
+    n_exchanges,
+    pushed_filters,
+    read_schemas,
+)
+from privacy_crawler_parser_tokenizer_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(spark, name):
+    return formatted_plan(QUERIES[name](spark, SF))
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    p = plan(spark, "pricing_summary")
+    pushed = " ".join(pushed_filters(p))
+    assert "l_shipdate" in pushed, p
+
+
+def test_column_pruning(spark):
+    # a 2-column projection must not scan the whole documents table
+    p = plan(spark, "word_counts")
+    (schema,) = read_schemas(p)
+    assert "text" in schema and "lang" not in schema and "source" not in schema
+
+
+def test_small_dims_broadcast(spark):
+    assert has_broadcast_join(plan(spark, "top_customers"))
+    assert has_broadcast_join(plan(spark, "region_rollup"))
+
+
+def test_partial_aggregation(spark):
+    assert has_partial_aggregation(plan(spark, "pricing_summary"))
+    assert has_partial_aggregation(plan(spark, "lang_freq"))
+
+
+def test_whole_stage_codegen_active(spark):
+    # AQE's pre-execution plan hides codegen annotations; check the
+    # statically planned query
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(spark, "pricing_summary")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert codegen_stage_count(p) >= 1, p
+
+
+def test_shuffle_budgets(spark):
+    # scans + narrow ops must not shuffle at all
+    assert n_exchanges(plan(spark, "rule_hits")) == 0
+    assert n_exchanges(plan(spark, "word_counts")) == 0
+    assert n_exchanges(plan(spark, "token_counts")) == 0
+    # one groupBy = one shuffle (plus AQE read)
+    assert n_exchanges(plan(spark, "lang_freq")) <= 2
+    # the whole extract->context->tokenize->rules pipeline is shuffle-
+    # free up to the parse-gate semi-join (array-local context)
+    assert n_exchanges(plan(spark, "sentence_pipeline")) <= 1
+
+
+def test_sentence_pipeline_broadcast_gate(spark):
+    # the parse-ok doc-gate must be a broadcast semi-join, not a shuffle
+    assert has_broadcast_join(plan(spark, "sentence_pipeline"))
+
+
+def test_spans_windowed_twin_is_identical(spark):
+    """The zero-shuffle array-local context == the lag/lead window
+    formulation, row for row."""
+    from privacy_crawler_parser_tokenizer_spark.pipeline import (
+        extract_documents,
+        spans_table,
+        spans_table_windowed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "<html><body><h1>T</h1><p>a.</p><ul><li>x</li></ul>"
+                   "<p>b!</p><img src='m.png'></body></html>"),
+            ("d2", "<html><body><p>only one</p></body></html>"),
+        ],
+        "doc_id string, html string",
+    )
+    ex = extract_documents(docs, auto_text=False)
+    cols = ["doc_id", "kind", "text", "media_ref", "offset", "tag_index",
+            "tag", "prec_by", "proc_by"]
+    fast = {tuple(r) for r in spans_table(ex).select(cols).collect()}
+    slow = {tuple(r) for r in spans_table_windowed(ex).select(cols).collect()}
+    assert fast == slow and len(fast) >= 5
+    assert n_exchanges(formatted_plan(spans_table(ex))) == 0
