@@ -26,6 +26,8 @@ HEADLINE = [
     "rule_hits",
     "quality_scores",
     "fingerprints",
+    "verify_scores",
+    "simhash",
     "minhash_bands",
     "lsh_candidate_pairs",
     "sentence_pipeline",

@@ -615,6 +615,182 @@ def q_sign_lsh_buckets(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# verification stage (§2.2): pair-fit TF-IDF cosine + English gate.
+# Ground truth / dictionary are synthesized deterministically from the
+# documents table itself (docs 0-2 / words of docs 0-49).
+# ---------------------------------------------------------------------------
+
+# sklearn 2-doc pair-fit reduces to a closed form (core/tfidf.py):
+# shared-term idf = 1, unique-term idf = ln(1.5)+1 = u;
+# sim = dot_shared / sqrt((u^2(A-S)+S) * (u^2(GA-GS)+GS))
+_TOKCOUNT_SQL = """
+    SELECT doc_id, t, count(*) AS c FROM (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w\\w+')) AS t
+      FROM documents) GROUP BY doc_id, t
+"""
+
+_VERIFY_SQL = f"""
+    WITH tok AS ({_TOKCOUNT_SQL}),
+    gt AS (SELECT t, CAST(sum(c) AS BIGINT) AS g FROM tok WHERE doc_id < 3 GROUP BY t),
+    ga AS (SELECT sum(g * g) AS ga FROM gt),
+    a AS (SELECT doc_id, sum(c * c) AS a2 FROM tok GROUP BY doc_id),
+    sh AS (
+      SELECT tok.doc_id, sum(tok.c * gt.g) AS dot,
+             sum(tok.c * tok.c) AS s2, sum(gt.g * gt.g) AS gs2
+      FROM tok JOIN gt ON tok.t = gt.t GROUP BY tok.doc_id
+    ),
+    sim AS (
+      SELECT a.doc_id,
+             CASE WHEN sh.dot IS NULL THEN 0.0
+                  ELSE sh.dot / sqrt(
+                    (power(ln(1.5) + 1, 2) * (a.a2 - sh.s2) + sh.s2)
+                    * (power(ln(1.5) + 1, 2) * (ga.ga - sh.gs2) + sh.gs2))
+             END AS sim
+      FROM a LEFT JOIN sh ON a.doc_id = sh.doc_id CROSS JOIN ga
+    )
+    SELECT d.doc_id, round(coalesce(sim.sim, 0.0), 6) AS sim
+    FROM documents d LEFT JOIN sim ON d.doc_id = sim.doc_id
+"""
+
+
+def _doc_tokens(docs):
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(r"\w\w+"), 0)
+            ).alias("t"),
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+@query("verify_scores", _VERIFY_SQL)
+def q_verify_scores(spark, sf_dir):
+    """Pair-fit TF-IDF cosine of every document against the synthesized
+    ground truth (docs 0-2), as pure relational algebra: token-count
+    aggregation, broadcast join on the tiny ground-truth vocabulary,
+    closed-form norm arithmetic (core/tfidf.py; reference:
+    src/crawler.py:43-75).  The UDF twin (make_verify_udf) drives the
+    frontier; this is the set-oriented re-scoring path
+    (src/verification/verify.py:216-290)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = _doc_tokens(docs)
+    gt = (
+        tok.filter(F.col("doc_id") < 3)
+        .groupBy("t")
+        .agg(F.sum("c").cast("long").alias("g"))
+    )
+    ga = gt.agg(F.sum(F.col("g") * F.col("g")).alias("ga"))
+    a = tok.groupBy("doc_id").agg(F.sum(F.col("c") * F.col("c")).alias("a2"))
+    sh = (
+        tok.join(F.broadcast(gt), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("g")).alias("dot"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+            F.sum(F.col("g") * F.col("g")).alias("gs2"),
+        )
+    )
+    u2 = F.pow(F.log(F.lit(1.5)) + 1, 2)
+    sim = (
+        a.join(sh, "doc_id", "left")
+        .crossJoin(F.broadcast(ga))
+        .withColumn(
+            "sim",
+            F.when(F.col("dot").isNull(), F.lit(0.0)).otherwise(
+                F.col("dot")
+                / F.sqrt(
+                    (u2 * (F.col("a2") - F.col("s2")) + F.col("s2"))
+                    * (u2 * (F.col("ga") - F.col("gs2")) + F.col("gs2"))
+                )
+            ),
+        )
+        .select("doc_id", "sim")
+    )
+    return (
+        docs.select("doc_id")
+        .join(sim, "doc_id", "left")
+        .select("doc_id", F.round(F.coalesce("sim", F.lit(0.0)), 6).alias("sim"))
+    )
+
+
+@query(
+    "english_gate",
+    """
+    WITH dict AS (
+      SELECT DISTINCT unnest(
+        string_split_regex(regexp_replace(upper(text), '[^A-Z \t\n]+', '', 'g'), '\\s+')
+      ) AS w
+      FROM documents WHERE doc_id < 50
+    ),
+    cand AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(
+               regexp_replace(upper(text), '[^A-Z \t\n]+', '', 'g'), '\\s+'),
+               x -> x <> '') AS ws
+      FROM documents
+    ),
+    e AS (SELECT doc_id, unnest(ws) AS w FROM cand),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hits FROM e
+      WHERE w IN (SELECT w FROM dict) GROUP BY doc_id
+    ),
+    wm AS (
+      SELECT cand.doc_id,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE coalesce(hits.n_hits, 0) * 100.0 / len(ws) END AS word_pct,
+             CASE WHEN len(text) = 0 THEN 0.0
+                  ELSE len(regexp_replace(text, '[^A-Za-z \t\n]+', '', 'g'))
+                       * 100.0 / len(text) END AS char_pct
+      FROM cand LEFT JOIN hits ON cand.doc_id = hits.doc_id
+    )
+    SELECT doc_id, (word_pct >= 50 AND char_pct >= 85) AS is_en FROM wm
+    """,
+)
+def q_english_gate(spark, sf_dir):
+    """The reference English gate (src/verification/verify.py:26-68) as
+    relational ops: dictionary = distinct words of docs 0-49 (broadcast
+    semi-join membership), >=50% word hits and >=85% letter/whitespace
+    chars."""
+    docs = _t(spark, sf_dir, "documents")
+    clean = F.regexp_replace(F.upper("text"), "[^A-Z \t\n]+", "")
+    ws = F.filter(F.split(clean, r"\s+"), lambda x: x != "")
+    cand = docs.select("doc_id", "text", ws.alias("ws"))
+    dict_df = (
+        cand.filter(F.col("doc_id") < 50)
+        .select(F.explode("ws").alias("w"))
+        .distinct()
+    )
+    hits = (
+        cand.select("doc_id", F.explode("ws").alias("w"))
+        .join(F.broadcast(dict_df), "w", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    char_pct = F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace("text", "[^A-Za-z \t\n]+", "")) * 100.0
+        / F.length("text")
+    )
+    return (
+        cand.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                (
+                    F.when(F.size("ws") == 0, F.lit(0.0)).otherwise(
+                        F.coalesce("n_hits", F.lit(0)) * 100.0 / F.size("ws")
+                    )
+                    >= 50
+                )
+                & (char_pct >= 85)
+            ).alias("is_en"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # URL family (crawler §2.2) on synthesized URLs
 # ---------------------------------------------------------------------------
 

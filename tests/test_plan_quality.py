@@ -97,3 +97,26 @@ def test_spans_windowed_twin_is_identical(spark):
     slow = {tuple(r) for r in spans_table_windowed(ex).select(cols).collect()}
     assert fast == slow and len(fast) >= 5
     assert n_exchanges(formatted_plan(spans_table(ex))) == 0
+
+
+def test_verify_scores_matches_kernel(spark):
+    """The relational closed-form TF-IDF cosine == the Python kernel
+    (which replicates sklearn pair-fit numerics) on ASCII docs."""
+    import math
+
+    from privacy_crawler_parser_tokenizer_spark.core.tfidf import tfidf_cosine_pair
+
+    docs = {r.doc_id: r.text for r in spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").collect()}
+    gt = " ".join(docs[i] for i in sorted(docs) if i < 3)
+    got = {r.doc_id: r.sim for r in QUERIES["verify_scores"](spark, SF).collect()}
+    checked = 0
+    for doc_id, text in sorted(docs.items()):
+        if not text.isascii():
+            continue  # Python \w is unicode; engine \w is ASCII
+        want = tfidf_cosine_pair(gt, text)
+        assert math.isclose(got[doc_id], want, abs_tol=5e-7), (doc_id, got[doc_id], want)
+        checked += 1
+        if checked >= 50:
+            break
+    assert checked >= 20
