@@ -1086,6 +1086,37 @@ def q_order_outcomes(spark, sf_dir):
 
 
 @query(
+    "list_stats",
+    """
+    WITH l AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+           round(avg(CASE WHEN trim(line) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(line), '\\s+')) END), 6)
+             AS avg_items
+    FROM l GROUP BY doc_id
+    """,
+)
+def q_list_stats(spark, sf_dir):
+    """Per-policy list statistics (reference: src/statistics/lists.py:24-51
+    — list count + mean items per list), newline-delimited lines as the
+    list rows."""
+    docs = _t(spark, sf_dir, "documents")
+    items = F.when(F.trim("line") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("line"), r"\s+"))
+    )
+    return (
+        docs.select("doc_id", F.explode(F.split("text", "\n")).alias("line"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lists"),
+            F.round(F.avg(items), 6).alias("avg_items"),
+        )
+    )
+
+
+@query(
     "deterministic_sample",
     "SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 = 0",
 )
