@@ -323,7 +323,8 @@ class FrontierCrawler:
         policy_seen = self._load("policy_seen", prev)
 
         due = state.filter(F.col("phase") != "done")
-        if due.isEmpty():
+        n_active = due.count()  # loop condition + metrics row, one job
+        if n_active == 0:
             return False
 
         # 1. resolve each due domain's single request url ------------------
@@ -456,7 +457,12 @@ class FrontierCrawler:
             F.when(F.col("contents") != "", F.sha2(F.col("contents"), 256)),
         )
         hist_hash = policy_seen.select(F.col("text_hash"), F.lit(True).alias("_hdup"))
-        w_hash = Window.partitionBy("text_hash").orderBy("seed_rank")
+        # partition key falls back to seed_rank for null-hash (empty
+        # content) rows: they never dedupe, and a plain text_hash
+        # partition would funnel every empty fetch into one hot task
+        w_hash = Window.partitionBy(
+            F.coalesce(F.col("text_hash"), F.col("seed_rank").cast("string"))
+        ).orderBy("seed_rank")
         visits = (
             visits.join(hist_hash, "text_hash", "left")
             .withColumn(
@@ -609,7 +615,6 @@ class FrontierCrawler:
         n_fetched = n_granted  # every granted request issues one fetch
         n_new_links = links_new.count() - (links.count())
         n_policies = log_delta.filter("valid AND NOT duplicate").count()
-        n_active = due.count()
         metrics = spark.createDataFrame(
             [(rnd, n_granted, n_fetched, n_new_links, n_policies, n_active)],
             _METRICS_SCHEMA,
@@ -668,12 +673,15 @@ class FrontierCrawler:
         )
 
     def _union_deltas(self, table: str, schema: str) -> DataFrame:
+        # single multi-path parquet read: one scan node regardless of
+        # round count (an N-way union plan degrades at 1000s of rounds)
+        import os
+
         last = self.wh.last_committed_round()
         snaps = [s for s in self.wh.snapshots(table) if last is None or s <= last]
         if not snaps:
             return self._empty(schema)
-        out = None
-        for s in sorted(snaps):
-            df = self.wh.read(self.spark, table, s)
-            out = df if out is None else out.unionByName(df)
-        return out
+        paths = [
+            os.path.join(self.wh.root, table, f"snap={s}") for s in sorted(snaps)
+        ]
+        return self.spark.read.schema(schema).parquet(*paths)
