@@ -229,6 +229,7 @@ def main() -> None:
             f"sec_{BIG}c": r[BIG]["sec"],
             "units": r[BIG]["units"],
             "scaling_efficiency": round(eff, 3),
+            "samples": {c: [x["rate"] for x in rs] for c, rs in runs.items()},
         }
         print(json.dumps({job: report[job]}), flush=True)  # progress line
 
