@@ -20,11 +20,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from privacy_crawler_parser_tokenizer_spark.pipeline import parse_tokenize
     from privacy_crawler_parser_tokenizer_spark.sources.tables import (
-        documents_as_html,
+        documents_as_rich_html,
         load_table,
     )
 
-    docs = documents_as_html(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    docs = documents_as_rich_html(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
     out = parse_tokenize(docs)
     return (
         out["rule_counts"]

@@ -38,6 +38,37 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def documents_as_rich_html(df: DataFrame) -> DataFrame:
+    """Adapter for the flagship query: render each flat document as a
+    multi-span HTML page (header = first 4 words, two paragraph halves,
+    a 3-item list from the tail words) so the full walk/tokenize/rule
+    surface is exercised.  Unlike documents_as_html this has no closed-
+    form SQL oracle — used by entry() (smoke-gated), not by the
+    oracle-checked queries."""
+    from pyspark.sql import functions as F
+
+    esc = lambda c: F.replace(  # noqa: E731
+        F.replace(F.replace(c, F.lit("&"), F.lit("&amp;")), F.lit("<"), F.lit("&lt;")),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    words = F.split(F.trim("text"), r"\s+")
+    n = F.size(words)
+    head = F.concat_ws(" ", F.slice(words, 1, 4))
+    half = F.greatest((n / 2).cast("int"), F.lit(5))
+    p1 = F.concat_ws(" ", F.slice(words, 5, half))
+    p2 = F.concat_ws(" ", F.slice(words, half + F.lit(5), n))
+    li = lambda i: F.concat_ws(" ", F.slice(words, i, 3))  # noqa: E731
+    html = F.concat(
+        F.lit("<html><body><h1>"), esc(head), F.lit("</h1><p>"), esc(p1),
+        F.lit("</p><ul><li>"), esc(li(F.lit(1))), F.lit("</li><li>"),
+        esc(li(half)), F.lit("</li></ul><p>"), esc(p2), F.lit("</p></body></html>"),
+    )
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"), html.alias("html")
+    )
+
+
 def documents_as_html(df: DataFrame) -> DataFrame:
     """Adapter: the driver's flat ``documents(doc_id, text, ...)`` table
     -> the engine's canonical HTML shape, rendering each text as a
