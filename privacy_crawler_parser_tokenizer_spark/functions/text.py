@@ -283,16 +283,17 @@ def fingerprint_col(text: Column) -> Column:
 
 
 def shingles_col(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingles as an array (empty when < k words)."""
+    """Word k-gram shingles as an array (empty when < k words).
+
+    Built by zipping k shifted slices of the word array — one transform
+    over pre-aligned struct fields.  (A sequence+element_at lambda is
+    ~16x slower at sf0.1: per-element computed-index lookups defeat
+    codegen.)"""
     w = words_col(F.lower(text))
     n = F.size(w)
-    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
-    mk = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(k)]
-        ),
-    )
+    m = n - F.lit(k - 1)
+    z = F.arrays_zip(*[F.slice(w, i + 1, m) for i in range(k)])
+    mk = F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)]))
     return F.when(n < F.lit(k), F.array().cast("array<string>")).otherwise(mk)
 
 

@@ -277,22 +277,27 @@ def _minhash_sql() -> str:
 def q_minhash_bands(spark, sf_dir):
     """MinHash signatures over word-3-gram shingles; one row per band.
     md5-hex lexicographic min is engine-portable (no seed-dependent
-    integer hashing)."""
+    integer hashing).  Shingling happens ONCE; the per-band minima are
+    computed from the same array and stacked (a per-band union would
+    re-split and re-shingle every document N_BANDS times)."""
     docs = _t(spark, sf_dir, "documents")
     sh = shingles_col(F.col("text")).alias("sh")
     base = docs.select("doc_id", sh).filter(F.size("sh") > 0)
-    parts = [
-        base.select(
-            "doc_id",
-            F.lit(b).cast("long").alias("band"),
-            minhash_col(F.col("sh"), b).alias("mh"),
-        )
-        for b in range(_N_BANDS)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # explode + per-band md5 columns + hash-agg min: the md5s run in
+    # whole-stage codegen instead of interpreted array lambdas (~4x
+    # faster at sf0.1); min over duplicates == min over distinct, so
+    # array_distinct first cuts the exploded row count
+    e = base.select("doc_id", F.explode(F.array_distinct("sh")).alias("s"))
+    sig = e.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("s")))).alias(f"mh_{b}")
+            for b in range(_N_BANDS)
+        ]
+    )
+    stack = ", ".join(f"{b}L, mh_{b}" for b in range(_N_BANDS))
+    return sig.select(
+        "doc_id", F.expr(f"stack({_N_BANDS}, {stack}) AS (band, mh)")
+    )
 
 
 @query(
@@ -308,8 +313,10 @@ def q_minhash_bands(spark, sf_dir):
     """,
 )
 def q_lsh_candidate_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup candidates: docs sharing any band minhash."""
-    bands = q_minhash_bands(spark, sf_dir)
+    """MinHash-LSH near-dup candidates: docs sharing any band minhash.
+    The signature table is cached so the self-join's two sides don't
+    each recompute shingling+hashing over the corpus."""
+    bands = q_minhash_bands(spark, sf_dir).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
