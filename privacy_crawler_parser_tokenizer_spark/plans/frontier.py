@@ -76,8 +76,14 @@ from ..functions.udfs import (
 from ..operators.bloom import ShardedBloom
 from ..sources.warehouse import Warehouse
 
-STATE_TABLES = ("domain_state", "links", "seen", "policy_seen")
-DELTA_TABLES = ("crawl_log", "documents", "metrics")
+# domain_state is the only rewrite-per-round table (one row per domain,
+# genuinely mutable).  Everything else is APPEND-ONLY: each round writes
+# only its delta snapshot and reads are one multi-path parquet scan over
+# all deltas — rewriting the cumulative seen/links sets per round would
+# be O(rounds x table size), unusable at 10^10 URLs.  (With Iceberg:
+# appends + periodic compaction.)
+STATE_TABLES = ("domain_state",)
+DELTA_TABLES = ("links", "seen", "policy_seen", "crawl_log", "documents", "metrics")
 
 _STATE_SCHEMA = (
     "seed_rank int, domain string, full_url string, phase string, "
@@ -285,13 +291,21 @@ class FrontierCrawler:
             "full_url", ensure_scheme_col(F.col("domain"))
         )
         self.wh.write(state, "domain_state", -1)
-        self.wh.write(self._empty(_LINKS_SCHEMA), "links", -1)
-        self.wh.write(self._empty(_SEEN_SCHEMA), "seen", -1)
-        self.wh.write(self._empty(_POLICY_SCHEMA), "policy_seen", -1)
         self.wh.commit(-1, list(STATE_TABLES))
 
     def _load(self, table: str, snapshot: int) -> DataFrame:
         return self.wh.read(self.spark, table, snapshot)
+
+    def _load_union(self, table: str, schema: str, upto: int) -> DataFrame:
+        """All delta snapshots <= ``upto`` as ONE multi-path parquet scan
+        (uncommitted later snapshots from a crashed round are excluded)."""
+        import os
+
+        snaps = sorted(s for s in self.wh.snapshots(table) if s <= upto)
+        if not snaps:
+            return self._empty(schema)
+        paths = [os.path.join(self.wh.root, table, f"snap={s}") for s in snaps]
+        return self.spark.read.schema(schema).parquet(*paths)
 
     # -- main loop --------------------------------------------------------
     def run(self) -> FrontierRun:
@@ -300,11 +314,12 @@ class FrontierCrawler:
             self._init_state()
             last = -1
         else:
-            # rebuild the Bloom from the committed seen set on resume
-            seen = self._load("seen", last)
-            if seen is not None and self.cfg.use_bloom:
+            # rebuild the Bloom from the committed seen deltas on resume
+            if self.cfg.use_bloom:
+                seen = self._load_union("seen", _SEEN_SCHEMA, last)
                 self.bloom = build_bloom_distributed(
-                    seen, "href", self.cfg.bloom_capacity, self.cfg.bloom_fpp
+                    seen.select("href").distinct(), "href",
+                    self.cfg.bloom_capacity, self.cfg.bloom_fpp,
                 )
 
         rnd = last
@@ -318,9 +333,9 @@ class FrontierCrawler:
         spark, cfg, wh = self.spark, self.cfg, self.wh
         prev = rnd - 1
         state = self._load("domain_state", prev)
-        links = self._load("links", prev)
-        seen = self._load("seen", prev)
-        policy_seen = self._load("policy_seen", prev)
+        links = self._load_union("links", _LINKS_SCHEMA, prev)
+        seen = self._load_union("seen", _SEEN_SCHEMA, prev)
+        policy_seen = self._load_union("policy_seen", _POLICY_SCHEMA, prev)
 
         due = state.filter(F.col("phase") != "done")
         n_active = due.count()  # loop condition + metrics row, one job
@@ -426,30 +441,32 @@ class FrontierCrawler:
             )
             .withColumn("pos", (F.col("_base") + F.row_number().over(w_append) - 1).cast("int"))
             .select("seed_rank", "pos", F.col("completed").alias("url"))
-        )
-        wh.write(links.unionByName(links_delta), "links", rnd)
-        links_new = self._load("links", rnd)
+        ).persist()
 
-        # 5. seen-set update (probe counts: insert=1st probe, bump after) --
-        round_probes = cand2.groupBy("href").agg(
-            F.count("*").alias("_cnt"), F.min("hist_seen").alias("_hist")
-        )
-        seen_new = (
-            seen.join(round_probes, "href", "full")
-            .select(
-                "href",
-                (F.coalesce(F.col("probes"), F.lit(0)) + F.coalesce(F.col("_cnt"), F.lit(0))).alias("probes"),
-                F.coalesce(F.col("first_round"), F.lit(rnd)).cast("int").alias("first_round"),
+        # 5. append-only deltas: links + seen probe counts.  Rounds with
+        # no candidates (politeness-deferred tails) skip these writes and
+        # the Bloom delta entirely — no snapshot is cheaper than an
+        # empty one, and readers just see fewer delta files.
+        n_cand = cand2.count()
+        n_new_links = 0
+        if n_cand > 0:
+            n_new_links = links_delta.count()
+            if n_new_links > 0:
+                wh.write(links_delta, "links", rnd)
+            # probe-count delta: reader aggregates sum(probes)/min(first_round)
+            seen_delta = (
+                cand2.groupBy("href")
+                .agg(F.count("*").cast("long").alias("probes"))
+                .withColumn("first_round", F.lit(rnd).cast("int"))
             )
-        )
-        wh.write(seen_new, "seen", rnd)
-        if cfg.use_bloom:
-            delta = build_bloom_distributed(
-                cand2.filter(~F.col("hist_seen") & (F.col("probe_rank") == 1)),
-                "href", cfg.bloom_capacity, cfg.bloom_fpp,
-            )
-            for mine, theirs in zip(self.bloom.shards, delta.shards):
-                mine.merge(theirs)
+            wh.write(seen_delta, "seen", rnd)
+            if cfg.use_bloom:
+                delta = build_bloom_distributed(
+                    cand2.filter(~F.col("hist_seen") & (F.col("probe_rank") == 1)),
+                    "href", cfg.bloom_capacity, cfg.bloom_fpp,
+                )
+                for mine, theirs in zip(self.bloom.shards, delta.shards):
+                    mine.merge(theirs)
 
         # 6. link-visit outcomes: verify + content first-writer dedupe -----
         visits = processed.filter(~is_landing).withColumn(
@@ -483,7 +500,7 @@ class FrontierCrawler:
         ).select(
             "text_hash", "seed_rank", F.col("next_idx").alias("pos"), F.lit(rnd).alias("round")
         )
-        wh.write(policy_seen.unionByName(policy_delta), "policy_seen", rnd)
+        wh.write(policy_delta, "policy_seen", rnd)
 
         # log rows: granted link visits + robots-blocked link requests
         is_policy = F.col("sim_raw") >= cfg.threshold
@@ -610,10 +627,9 @@ class FrontierCrawler:
         )
         wh.write(state_new, "domain_state", rnd)
 
-        # 8. metrics --------------------------------------------------------
+        # 8. metrics (n_new_links computed at the delta write, step 5) ------
         n_granted = processed.count()
         n_fetched = n_granted  # every granted request issues one fetch
-        n_new_links = links_new.count() - (links.count())
         n_policies = log_delta.filter("valid AND NOT duplicate").count()
         metrics = spark.createDataFrame(
             [(rnd, n_granted, n_fetched, n_new_links, n_policies, n_active)],
@@ -626,6 +642,7 @@ class FrontierCrawler:
             wh.expire_snapshots(t, keep=cfg.keep_state_snapshots)
         processed.unpersist()
         cand2.unpersist()
+        links_delta.unpersist()
         visits.unpersist()
         return True
 
@@ -643,13 +660,13 @@ class FrontierCrawler:
         return self._union_deltas("metrics", _METRICS_SCHEMA).orderBy("round")
 
     def seen(self) -> DataFrame:
-        """(href, revisits): revisit count == probes - 1, matching the
-        oracle's seen-dict values (crawler.py:110-115)."""
-        last = self.wh.last_committed_round()
-        df = self.wh.read(self.spark, "seen", last)
-        if df is None:
-            return self._empty("href string, revisits bigint")
-        return df.select("href", (F.col("probes") - 1).alias("revisits"))
+        """(href, revisits): revisit count == total probes - 1, matching
+        the oracle's seen-dict values (crawler.py:110-115).  Aggregates
+        the per-round probe-count deltas."""
+        df = self._union_deltas("seen", _SEEN_SCHEMA)
+        return df.groupBy("href").agg(
+            (F.sum("probes") - 1).alias("revisits")
+        )
 
     def outcomes(self) -> DataFrame:
         """Domain outcome classification (crawler.py:231-236) + running
@@ -673,15 +690,7 @@ class FrontierCrawler:
         )
 
     def _union_deltas(self, table: str, schema: str) -> DataFrame:
-        # single multi-path parquet read: one scan node regardless of
-        # round count (an N-way union plan degrades at 1000s of rounds)
-        import os
-
         last = self.wh.last_committed_round()
-        snaps = [s for s in self.wh.snapshots(table) if last is None or s <= last]
-        if not snaps:
-            return self._empty(schema)
-        paths = [
-            os.path.join(self.wh.root, table, f"snap={s}") for s in sorted(snaps)
-        ]
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._load_union(
+            table, schema, last if last is not None else -(10**9)
+        )
