@@ -247,6 +247,7 @@ class FrontierConfig:
     fetch_partitions: int | None = None
     max_rounds: int = 10_000
     keep_state_snapshots: int = 2   # expire older state snapshots
+    compact_every: int = 64         # merge delta snapshots every N rounds
 
 
 @dataclass
@@ -299,12 +300,10 @@ class FrontierCrawler:
     def _load_union(self, table: str, schema: str, upto: int) -> DataFrame:
         """All delta snapshots <= ``upto`` as ONE multi-path parquet scan
         (uncommitted later snapshots from a crashed round are excluded)."""
-        import os
-
         snaps = sorted(s for s in self.wh.snapshots(table) if s <= upto)
         if not snaps:
             return self._empty(schema)
-        paths = [os.path.join(self.wh.root, table, f"snap={s}") for s in snaps]
+        paths = [self.wh.snapshot_path(table, s) for s in snaps]
         return self.spark.read.schema(schema).parquet(*paths)
 
     # -- main loop --------------------------------------------------------
@@ -640,6 +639,9 @@ class FrontierCrawler:
         wh.commit(rnd, list(STATE_TABLES + DELTA_TABLES))
         for t in STATE_TABLES:
             wh.expire_snapshots(t, keep=cfg.keep_state_snapshots)
+        if cfg.compact_every and (rnd + 1) % cfg.compact_every == 0:
+            for t in DELTA_TABLES:  # bounded multi-path read fan-in
+                wh.compact(spark, t, rnd)
         processed.unpersist()
         cand2.unpersist()
         links_delta.unpersist()

@@ -1073,6 +1073,27 @@ def q_value_borderline(spark, sf_dir):
 
 
 @query(
+    "politeness_window",
+    """
+    SELECT event_id,
+           (row_number() OVER (PARTITION BY user_id % 5 ORDER BY ts, event_id) <= 3)
+             AS granted
+    FROM events
+    """,
+)
+def q_politeness_window(spark, sf_dir):
+    """The frontier's per-host politeness budget as a standalone
+    oracle-checked operator (north-rule [NEW]; live use in
+    plans/frontier.py step 2): grant the first B requests per host in
+    deterministic order, defer the rest."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy(F.col("user_id") % 5).orderBy("ts", "event_id")
+    return e.select(
+        "event_id", (F.row_number().over(w) <= 3).alias("granted")
+    )
+
+
+@query(
     "order_outcomes",
     """
     SELECT o_orderstatus AS status,

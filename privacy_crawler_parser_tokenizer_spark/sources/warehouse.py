@@ -73,7 +73,7 @@ class Warehouse:
         snap = m["current"] if snapshot is None else snapshot
         if snap is None or snap not in m["snapshots"]:
             return None
-        return spark.read.parquet(os.path.join(self.root, table, f"snap={snap}"))
+        return spark.read.parquet(self.snapshot_path(table, snap))
 
     def snapshots(self, table: str) -> list[int]:
         return list(self._manifest(table)["snapshots"])
@@ -90,6 +90,47 @@ class Warehouse:
                           ignore_errors=True)
             m["snapshots"].remove(s)
         _atomic_write_json(self._manifest_path(table), m)
+
+    def snapshot_path(self, table: str, snapshot: int) -> str:
+        """Data dir of a snapshot (compacted snapshots live in mapped
+        dirs recorded in the manifest)."""
+        m = self._manifest(table)
+        dirname = m.get("dirs", {}).get(str(snapshot), f"snap={snapshot}")
+        return os.path.join(self.root, table, dirname)
+
+    def compact(self, spark: SparkSession, table: str, upto: int) -> None:
+        """Merge every snapshot <= ``upto`` into a single snapshot id
+        ``upto`` (the Iceberg rewrite_data_files analog for append-only
+        delta tables: keeps multi-path read fan-in bounded on long
+        crawls).  Readers filtering ``snapshot <= N`` see identical
+        contents for any N >= upto.  Crash-safe: the merged dir is
+        written first, the manifest swap is one atomic rename, and old
+        dirs are deleted only after the manifest points away from them.
+        """
+        m = self._manifest(table)
+        snaps = sorted(s for s in m["snapshots"] if s <= upto)
+        if len(snaps) <= 1:
+            return
+        dirs = m.get("dirs", {})
+        old_paths = [self.snapshot_path(table, s) for s in snaps]
+        merged = spark.read.parquet(*old_paths)
+        new_dirname = f"compact={upto}-{len(snaps)}"
+        new_dir = os.path.join(self.root, table, new_dirname)
+        if os.path.exists(new_dir):
+            shutil.rmtree(new_dir)
+        merged.write.mode("overwrite").parquet(new_dir)
+        # atomic manifest swap
+        m["snapshots"] = [s for s in m["snapshots"] if s > upto] + [upto]
+        dirs = {k: v for k, v in dirs.items() if int(k) > upto}
+        dirs[str(upto)] = new_dirname
+        m["dirs"] = dirs
+        if m["current"] in snaps or m["current"] is None:
+            m["current"] = upto
+        _atomic_write_json(self._manifest_path(table), m)
+        # old dirs are now unreferenced; failures here leak disk, not data
+        for p in old_paths:
+            if os.path.basename(p) != new_dirname:
+                shutil.rmtree(p, ignore_errors=True)
 
     # -- round-level commit markers ---------------------------------------
     def _commits_path(self) -> str:

@@ -61,3 +61,19 @@ def test_warehouse_snapshots_and_commits(spark, tmp_path):
     wh.write(df2, "t", 3)
     wh.expire_snapshots("t", keep=2)
     assert wh.snapshots("t") == [2, 3]
+
+
+def test_warehouse_compaction(spark, tmp_path):
+    """Compaction merges delta snapshots <= upto into one; readers see
+    identical contents; later snapshots untouched."""
+    wh = Warehouse(str(tmp_path / "whc"))
+    for i in range(4):
+        wh.write(spark.createDataFrame([(i,)], "v int"), "t", i)
+    wh.compact(spark, "t", 2)
+    assert sorted(wh.snapshots("t")) == [2, 3]
+    merged = spark.read.parquet(wh.snapshot_path("t", 2))
+    assert sorted(r.v for r in merged.collect()) == [0, 1, 2]
+    assert spark.read.parquet(wh.snapshot_path("t", 3)).collect()[0].v == 3
+    # idempotent / no-op on single snapshot
+    wh.compact(spark, "t", 2)
+    assert sorted(wh.snapshots("t")) == [2, 3]

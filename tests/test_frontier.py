@@ -173,3 +173,16 @@ def test_frontier_resume_is_exact(spark, tmp_path):
     resumed = crawler(max_rounds=10_000)
     resumed.run()
     assert_matches_oracle(resumed, res)
+
+
+def test_frontier_with_compaction(spark, tmp_path):
+    """Aggressive delta compaction (every 2 rounds) must not change any
+    result, and must bound the snapshot count."""
+    pages, seeds, robots = gen_web(n_domains=6, seed=21)
+    res = run_oracle(pages, seeds, robots=robots, host_budget=2)
+    fc = run_frontier(
+        spark, tmp_path / "wh", pages, seeds, robots=robots, host_budget=2,
+        config_kw={"compact_every": 2},
+    )
+    assert_matches_oracle(fc, res)
+    assert len(fc.wh.snapshots("seen")) <= 3

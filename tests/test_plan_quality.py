@@ -120,3 +120,14 @@ def test_verify_scores_matches_kernel(spark):
         if checked >= 50:
             break
     assert checked >= 20
+
+
+def test_fetch_stage_salts_by_host_hash(spark):
+    """The fetch repartition key must be a salted host-hash (north
+    rule): pmod(hash(host, round)) present in the exchange."""
+    from privacy_crawler_parser_tokenizer_spark.plans.frontier import FixtureFetcher
+
+    pages = spark.createDataFrame([("http://a.com", "<p>x</p>")], "url string, html string")
+    reqs = spark.createDataFrame([("http://a.com",)], "url string")
+    plan = formatted_plan(FixtureFetcher(pages, fetch_partitions=4).fetch(reqs, 7))
+    assert "pmod" in plan and "hash" in plan, plan
