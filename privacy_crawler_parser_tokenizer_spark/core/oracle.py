@@ -107,7 +107,7 @@ class CrawlOracle:
 
     def __init__(self, pages, seeds, ground_truth="", dictionary=frozenset(),
                  threshold=0.6, max_depth=3, host_budget=None, robots=None,
-                 user_agent="*"):
+                 user_agent="*", priority_fn=None):
         self.pages = pages
         self.seeds = list(seeds)
         self.gt_counts = tokenize_counts(ground_truth)
@@ -117,6 +117,11 @@ class CrawlOracle:
         self.host_budget = host_budget
         self.robots = robots or {}
         self.user_agent = user_agent
+        # priority queue [NEW]: when the politeness budget is contended,
+        # requests are granted by (priority(url), seed_rank); commit
+        # order within a round remains seed-rank (the canon).  None =
+        # FIFO (constant priority), the reference semantics.
+        self.priority_fn = priority_fn or (lambda url: 0)
 
     # -- primitive steps -------------------------------------------------
     def _fetch(self, url: str) -> str:
@@ -161,18 +166,24 @@ class CrawlOracle:
             granted: list[_DomainState] = []
             host_used: dict[str, int] = {}
             robots_blocked: list[_DomainState] = []
-            for s in sorted(due, key=lambda s: s.seed_rank):
+            reqs = []
+            for s in due:
                 url = (s.full_url if s.phase == "landing"
                        else s.links[s.next_idx])
                 if not self._robots_ok(url):
                     robots_blocked.append(s)
                     continue
+                reqs.append((self.priority_fn(url), s.seed_rank, s, url))
+            # budget allocation order: (priority, seed_rank)
+            for _prio, _rank, s, url in sorted(reqs, key=lambda r: r[:2]):
                 h = host_of(url)
                 used = host_used.get(h, 0)
                 if self.host_budget is not None and used >= self.host_budget:
                     continue  # deferred to next round
                 host_used[h] = used + 1
                 granted.append(s)
+            # commit order within the round: seed rank (the canon)
+            granted.sort(key=lambda s: s.seed_rank)
 
             n_fetched = 0
             n_new_links = 0

@@ -266,11 +266,17 @@ class FrontierCrawler:
                  seeds: list[str], ground_truth: str = "",
                  dictionary: frozenset = frozenset(),
                  robots: dict[str, str] | None = None,
-                 config: FrontierConfig | None = None):
+                 config: FrontierConfig | None = None,
+                 priority_expr=None):
         self.spark = spark
         self.wh = Warehouse(warehouse_dir)
         self.seeds = list(seeds)
         self.cfg = config or FrontierConfig()
+        # priority queue [NEW]: native Column builder url -> priority;
+        # contended politeness budgets grant by (priority, seed_rank).
+        # None = FIFO (reference semantics).  Mirror of the oracle's
+        # priority_fn — supply both for parity tests.
+        self.priority_expr = priority_expr or (lambda url: F.lit(0))
         self.fetcher = fetcher or FixtureFetcher(pages, self.cfg.fetch_partitions)
         self.robots_udf = make_robots_udf(spark, robots, self.cfg.user_agent)
         self.verify_udf = make_verify_udf(
@@ -358,10 +364,14 @@ class FrontierCrawler:
             .withColumn("robots_ok", self.robots_udf(F.col("url")))
         )
 
-        # 2. politeness window over robots-allowed requests ----------------
+        # 2. politeness window over robots-allowed requests, granted by
+        #    (priority, seed_rank) per host — the partitioned priority
+        #    queue dequeue
         eligible = requests.filter("robots_ok")
         if cfg.host_budget is not None:
-            w_host = Window.partitionBy("host").orderBy("seed_rank")
+            w_host = Window.partitionBy("host").orderBy(
+                self.priority_expr(F.col("url")), F.col("seed_rank")
+            )
             eligible = eligible.withColumn(
                 "_hrn", F.row_number().over(w_host)
             )

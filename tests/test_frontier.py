@@ -186,3 +186,48 @@ def test_frontier_with_compaction(spark, tmp_path):
     )
     assert_matches_oracle(fc, res)
     assert len(fc.wh.snapshots("seen")) <= 3
+
+
+def test_frontier_priority_queue(spark, tmp_path):
+    """Priority-ordered politeness grants (north-rule priority queue):
+    the VIP URL wins the contended shared-host budget ahead of the
+    lower-ranked seed's URL; oracle and engine agree exactly."""
+    from pyspark.sql import functions as F
+
+    pages = {
+        "http://a.com": '<a href="http://shared.com/privacy-a">privacy</a><p>t</p>',
+        "http://b.com": '<a href="http://shared.com/privacy-vip">privacy</a><p>t</p>',
+        "http://shared.com/privacy-a": POLICY,
+        "http://shared.com/privacy-vip": POLICY.replace("cookies", "beacons"),
+    }
+    seeds = ["a.com", "b.com"]
+
+    def prio(url):
+        return 0 if "vip" in url else 1
+
+    res = CrawlOracle(
+        pages, seeds, ground_truth=GT, dictionary=DICT, threshold=0.3,
+        host_budget=1, priority_fn=prio,
+    ).run()
+
+    pages_df = spark.createDataFrame(list(pages.items()), "url string, html string")
+    fc = FrontierCrawler(
+        spark, str(tmp_path / "wh"), pages=pages_df, seeds=seeds,
+        ground_truth=GT, dictionary=DICT,
+        config=FrontierConfig(threshold=0.3, host_budget=1, bloom_capacity=1 << 12),
+        priority_expr=lambda url: F.when(url.contains("vip"), 0).otherwise(1),
+    )
+    fc.run()
+    assert_matches_oracle(fc, res)
+
+    # priority actually reorders the contended grants: b's VIP url wins
+    # round 1, a's is deferred to round 2 (FIFO would grant a first)
+    rounds = {r.url: r.round for r in res.crawl_log}
+    assert rounds["http://shared.com/privacy-vip"] == 1
+    assert rounds["http://shared.com/privacy-a"] == 2
+    res_fifo = CrawlOracle(
+        pages, seeds, ground_truth=GT, dictionary=DICT, threshold=0.3,
+        host_budget=1,
+    ).run()
+    rounds_fifo = {r.url: r.round for r in res_fifo.crawl_log}
+    assert rounds_fifo["http://shared.com/privacy-a"] == 1
