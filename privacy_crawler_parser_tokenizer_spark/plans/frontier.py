@@ -83,7 +83,8 @@ from ..sources.warehouse import Warehouse
 # be O(rounds x table size), unusable at 10^10 URLs.  (With Iceberg:
 # appends + periodic compaction.)
 STATE_TABLES = ("domain_state",)
-DELTA_TABLES = ("links", "seen", "policy_seen", "crawl_log", "documents", "metrics")
+DELTA_TABLES = ("links", "seen", "policy_seen", "crawl_log", "documents",
+                "metrics", "lineage")
 
 _STATE_SCHEMA = (
     "seed_rank int, domain string, full_url string, phase string, "
@@ -103,6 +104,7 @@ _METRICS_SCHEMA = (
     "round int, granted bigint, fetched bigint, new_links bigint, "
     "policies bigint, active_domains bigint"
 )
+_LINEAGE_SCHEMA = "round int, stage string, partition_id int, n_rows bigint"
 
 
 # ---------------------------------------------------------------------------
@@ -646,6 +648,20 @@ class FrontierCrawler:
         )
         wh.write(metrics, "metrics", rnd)
 
+        # per-partition lineage: how the salted fetch stage actually
+        # spread work this round (skew observability at scale)
+        lineage = (
+            processed.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("n_rows"))
+            .select(
+                F.lit(rnd).cast("int").alias("round"),
+                F.lit("fetch").alias("stage"),
+                F.col("partition_id"),
+                F.col("n_rows").cast("long"),
+            )
+        )
+        wh.write(lineage, "lineage", rnd)
+
         wh.commit(rnd, list(STATE_TABLES + DELTA_TABLES))
         for t in STATE_TABLES:
             wh.expire_snapshots(t, keep=cfg.keep_state_snapshots)
@@ -670,6 +686,13 @@ class FrontierCrawler:
 
     def metrics(self) -> DataFrame:
         return self._union_deltas("metrics", _METRICS_SCHEMA).orderBy("round")
+
+    def lineage(self) -> DataFrame:
+        """Per-partition lineage of the fetch stage: (round, stage,
+        partition_id, n_rows) — the skew observability table."""
+        return self._union_deltas("lineage", _LINEAGE_SCHEMA).orderBy(
+            "round", "partition_id"
+        )
 
     def seen(self) -> DataFrame:
         """(href, revisits): revisit count == total probes - 1, matching

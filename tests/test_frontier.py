@@ -231,3 +231,17 @@ def test_frontier_priority_queue(spark, tmp_path):
     ).run()
     rounds_fifo = {r.url: r.round for r in res_fifo.crawl_log}
     assert rounds_fifo["http://shared.com/privacy-a"] == 1
+
+
+def test_frontier_lineage_partitions(spark, tmp_path):
+    """Per-partition lineage rows must account for every granted fetch."""
+    pages, seeds, _ = gen_web(n_domains=5, seed=3)
+    fc = run_frontier(spark, tmp_path / "wh", pages, seeds)
+    lineage = fc.lineage().collect()
+    assert lineage, "lineage table populated"
+    per_round = {}
+    for r in lineage:
+        assert r.stage == "fetch" and r.n_rows > 0
+        per_round[r.round] = per_round.get(r.round, 0) + r.n_rows
+    granted = {m.round: m.granted for m in fc.metrics().collect()}
+    assert per_round == {k: v for k, v in granted.items() if v > 0}
