@@ -117,6 +117,11 @@ class ShardedBloom:
                 out[mask] = shard.might_contain(arr[mask])
         return out
 
+    def merge(self, other: "ShardedBloom") -> "ShardedBloom":
+        for mine, theirs in zip(self.shards, other.shards):
+            mine.merge(theirs)
+        return self
+
     @property
     def nbytes(self) -> int:
         return sum(s.nbytes for s in self.shards)

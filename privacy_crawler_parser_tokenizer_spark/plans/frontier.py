@@ -212,24 +212,31 @@ def make_bloom_udf(spark: SparkSession, bloom: ShardedBloom):
     return might_contain
 
 
-def build_bloom_distributed(df: DataFrame, col: str,
-                            capacity: int, fpp: float = 0.01) -> ShardedBloom:
-    """Build a Bloom over ``df[col]`` with per-partition construction +
-    driver-side OR-merge (no raw-value collect): the per-round delta
-    path of the broadcast lifecycle."""
+def build_filter_distributed(df: DataFrame, col: str, factory):
+    """Build an approximate-membership filter over ``df[col]`` with
+    per-partition construction + driver-side merge (no raw-value
+    collect): the per-round delta path of the broadcast lifecycle.
+    ``factory()`` -> a filter with add/might_contain/merge
+    (operators.bloom.ShardedBloom or operators.cuckoo.CuckooFilter)."""
     def per_partition(rows):
-        b = ShardedBloom(capacity, fpp)
+        b = factory()
         vals = [r[0] for r in rows if r[0] is not None]
         if vals:
             b.add(pd.Series(vals, dtype="object"))
         yield b
 
-    blooms = df.select(col).rdd.mapPartitions(per_partition).collect()
-    out = ShardedBloom(capacity, fpp)
-    for b in blooms:
-        for mine, theirs in zip(out.shards, b.shards):
-            mine.merge(theirs)
+    parts = df.select(col).rdd.mapPartitions(per_partition).collect()
+    out = factory()
+    for b in parts:
+        out.merge(b)
     return out
+
+
+def build_bloom_distributed(df: DataFrame, col: str,
+                            capacity: int, fpp: float = 0.01) -> ShardedBloom:
+    return build_filter_distributed(
+        df, col, lambda: ShardedBloom(capacity, fpp)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -246,6 +253,7 @@ class FrontierConfig:
     bloom_capacity: int = 1 << 20
     bloom_fpp: float = 0.01
     use_bloom: bool = True
+    seen_filter: str = "bloom"      # "bloom" | "cuckoo" (deletable)
     fetch_partitions: int | None = None
     max_rounds: int = 10_000
     keep_state_snapshots: int = 2   # expire older state snapshots
@@ -285,7 +293,15 @@ class FrontierCrawler:
             broadcast_ground_truth(spark, ground_truth),
             broadcast_dictionary(spark, dictionary),
         )
-        self.bloom = ShardedBloom(self.cfg.bloom_capacity, self.cfg.bloom_fpp)
+        self.bloom = self._filter_factory()()
+
+    def _filter_factory(self):
+        cfg = self.cfg
+        if cfg.seen_filter == "cuckoo":
+            from ..operators.cuckoo import CuckooFilter
+
+            return lambda: CuckooFilter(cfg.bloom_capacity)
+        return lambda: ShardedBloom(cfg.bloom_capacity, cfg.bloom_fpp)
 
     # -- state io ---------------------------------------------------------
     def _empty(self, schema: str) -> DataFrame:
@@ -324,9 +340,8 @@ class FrontierCrawler:
             # rebuild the Bloom from the committed seen deltas on resume
             if self.cfg.use_bloom:
                 seen = self._load_union("seen", _SEEN_SCHEMA, last)
-                self.bloom = build_bloom_distributed(
-                    seen.select("href").distinct(), "href",
-                    self.cfg.bloom_capacity, self.cfg.bloom_fpp,
+                self.bloom = build_filter_distributed(
+                    seen.select("href").distinct(), "href", self._filter_factory()
                 )
 
         rnd = last
@@ -472,12 +487,11 @@ class FrontierCrawler:
             )
             wh.write(seen_delta, "seen", rnd)
             if cfg.use_bloom:
-                delta = build_bloom_distributed(
+                delta = build_filter_distributed(
                     cand2.filter(~F.col("hist_seen") & (F.col("probe_rank") == 1)),
-                    "href", cfg.bloom_capacity, cfg.bloom_fpp,
+                    "href", self._filter_factory(),
                 )
-                for mine, theirs in zip(self.bloom.shards, delta.shards):
-                    mine.merge(theirs)
+                self.bloom.merge(delta)
 
         # 6. link-visit outcomes: verify + content first-writer dedupe -----
         visits = processed.filter(~is_landing).withColumn(

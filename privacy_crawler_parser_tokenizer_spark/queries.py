@@ -1145,6 +1145,54 @@ def q_list_stats(spark, sf_dir):
 
 
 @query(
+    "paragraph_sample",
+    """
+    WITH l AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+    ), nz AS (SELECT doc_id, line FROM l WHERE trim(line) <> '')
+    SELECT doc_id, line FROM (
+      SELECT doc_id, line,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || line), line) AS rn
+      FROM nz) WHERE rn = 1
+    """,
+)
+def q_paragraph_sample(spark, sf_dir):
+    """One 'random' paragraph per document (reference:
+    src/statistics/paragraph_sampler.py:50-62) — hash-ordered pick
+    replaces random.choice so the sample is deterministic and
+    engine-portable."""
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id", F.explode(F.split("text", "\n")).alias("line")
+    ).filter(F.trim("line") != "")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("line"))),
+        "line",
+    )
+    return (
+        lines.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", "line")
+    )
+
+
+@query(
+    "verify_borderline",
+    f"""
+    WITH scores AS ({_VERIFY_SQL})
+    SELECT doc_id, sim FROM scores WHERE abs(sim - 0.3) < 0.05
+    """,
+)
+def q_verify_borderline(spark, sf_dir):
+    """Borderline similarity band for human review (reference:
+    src/verification/verify.py:259-266): scores within +/-0.05 of the
+    acceptance threshold."""
+    scores = q_verify_scores(spark, sf_dir)
+    return scores.filter(F.abs(F.col("sim") - 0.3) < 0.05)
+
+
+@query(
     "deterministic_sample",
     "SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 = 0",
 )

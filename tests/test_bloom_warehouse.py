@@ -77,3 +77,28 @@ def test_warehouse_compaction(spark, tmp_path):
     # idempotent / no-op on single snapshot
     wh.compact(spark, "t", 2)
     assert sorted(wh.snapshots("t")) == [2, 3]
+
+
+def test_cuckoo_filter():
+    from privacy_crawler_parser_tokenizer_spark.operators.cuckoo import CuckooFilter
+
+    c = CuckooFilter(capacity=2000)
+    added = pd.Series([f"http://u{i}.com/p" for i in range(1500)])
+    assert c.add(added) == 1500
+    assert c.might_contain(added).all()          # no false negatives
+    others = pd.Series([f"nope-{i}" for i in range(10000)])
+    assert c.might_contain(others).mean() < 0.05  # fp rate sane
+
+    # deletion (the capability Bloom lacks)
+    victims = added[:200]
+    assert c.delete(victims) == 200
+    # deleted values may still false-positive but most must be gone
+    assert c.might_contain(victims).mean() < 0.1
+    assert c.might_contain(added[200:]).all()
+
+    # merge via fingerprint re-insert
+    d = CuckooFilter(capacity=2000)
+    extra = pd.Series(["zzz-1", "zzz-2"])
+    d.add(extra)
+    c.merge(d)
+    assert c.might_contain(extra).all()

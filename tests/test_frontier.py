@@ -245,3 +245,14 @@ def test_frontier_lineage_partitions(spark, tmp_path):
         per_round[r.round] = per_round.get(r.round, 0) + r.n_rows
     granted = {m.round: m.granted for m in fc.metrics().collect()}
     assert per_round == {k: v for k, v in granted.items() if v > 0}
+
+
+def test_frontier_cuckoo_filter_same_result(spark, tmp_path):
+    """Cuckoo pre-filter variant produces identical crawl results."""
+    pages, seeds, robots = gen_web(n_domains=6, seed=7)
+    res = run_oracle(pages, seeds, robots=robots, host_budget=3)
+    fc = run_frontier(
+        spark, tmp_path / "wh", pages, seeds, robots=robots, host_budget=3,
+        config_kw={"seen_filter": "cuckoo"},
+    )
+    assert_matches_oracle(fc, res)
