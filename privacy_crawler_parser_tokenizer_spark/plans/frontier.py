@@ -4,25 +4,28 @@ Implements the canonical round-synchronous crawl semantics pinned by
 ``core.oracle.CrawlOracle`` (which in turn reproduces the reference
 crawler, src/crawler.py:143-241) as iterative batch DataFrame rounds:
 
-    state tables (warehouse snapshots, one per round)
+    rewrite-per-round state (one row per domain, snapshot per round)
       domain_state(seed_rank, domain, full_url, phase, next_idx,
                    depth_count, n_links, output_count, landing_ok, had_links)
+    append-only delta tables (per-round delta snapshot; read = one
+    multi-path scan; auto-compacted every compact_every rounds)
       links(seed_rank, pos, url)           -- per-domain frontier list
-      seen(href, probes, first_round)      -- raw-href URL-seen set
+      seen(href, probes, first_round)      -- raw-href probe-count deltas
       policy_seen(text_hash, seed_rank, pos, round)
-    append tables (one delta snapshot per round)
-      crawl_log, documents, metrics
+      crawl_log, documents, metrics,
+      lineage(round, stage, partition_id, n_rows)
 
     per round:
-      due -> resolve request url -> robots gate -> politeness window
-      (row_number over host, seed_rank <= budget) -> salted repartition
-      by host-hash -> fetch -> strip/extract (Arrow UDFs) -> candidate
-      admission (Bloom pre-filter + left-anti vs ``seen`` + in-round
+      due -> resolve request url -> robots gate -> priority-queue
+      politeness window (row_number over host by (priority, seed_rank)
+      <= budget) -> salted repartition by host-hash -> fetch ->
+      strip/extract (Arrow UDFs) -> candidate admission (Bloom or
+      cuckoo pre-filter + left-anti vs ``seen`` + in-round
       first-occurrence window over (seed_rank, page_pos)) -> junk filter
       -> link completion -> in-page + in-list dedupe -> frontier append
       -> verify (English gate + TF-IDF vs broadcast ground truth) ->
-      content first-writer dedupe -> log/doc/metric deltas -> state
-      update -> checkpoint + commit marker.
+      content first-writer dedupe -> log/doc/metric/lineage deltas ->
+      state update -> checkpoint + commit marker.
 
 The reference's racy cross-domain ``Manager()`` dicts
 (src/crawler.py:350-351) become deterministic window functions: every
