@@ -158,6 +158,54 @@ def make_verify_udf(bc_gt_counts, bc_dictionary):
     return verify_udf
 
 
+PROCESS_PAGE_SCHEMA = StructType(
+    [
+        StructField("contents", StringType()),
+        StructField("hrefs", ArrayType(StringType())),
+        StructField("sim_raw", DoubleType()),
+    ]
+)
+
+
+def make_process_page_udf(bc_gt_counts, bc_dictionary):
+    """Fused frontier data plane: strip + conditional link extraction +
+    conditional verify in ONE Arrow round trip (three separate UDFs
+    triple the JVM<->Python Arrow traffic and batch dispatches for the
+    same rows).  Inputs: html, is_landing, expand_ok (depth budget
+    holds).  Semantics identical to the separate kernels — shared
+    ``core`` functions, same short-circuits as the oracle."""
+
+    @F.pandas_udf(PROCESS_PAGE_SCHEMA)
+    def process_page(
+        html: pd.Series, is_landing: pd.Series, expand_ok: pd.Series
+    ) -> pd.DataFrame:
+        _bump_recursion_limit()
+        gt = bc_gt_counts.value
+        words = bc_dictionary.value
+        out_contents, out_hrefs, out_sim = [], [], []
+        for h, landing, dok in zip(html, is_landing, expand_ok):
+            h = h or ""
+            contents = strip_text(h) if h else ""
+            expanding = contents != "" and (landing or dok)
+            hrefs = extract_candidate_hrefs(h) if expanding else []
+            if not landing and contents:
+                sim = (
+                    tfidf_cosine_counts(gt, tokenize_counts(contents))
+                    if is_english(words, contents)
+                    else 0.0
+                )
+            else:
+                sim = 0.0
+            out_contents.append(contents)
+            out_hrefs.append(hrefs)
+            out_sim.append(sim)
+        return pd.DataFrame(
+            {"contents": out_contents, "hrefs": out_hrefs, "sim_raw": out_sim}
+        )
+
+    return process_page
+
+
 def broadcast_ground_truth(spark, ground_truth_text: str):
     """Broadcast the tokenized ground-truth counts once (fixes the
     reference's per-task pickling, verify.py:249-254)."""

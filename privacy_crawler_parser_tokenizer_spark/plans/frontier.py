@@ -72,9 +72,7 @@ from ..functions.text import (
 from ..functions.udfs import (
     broadcast_dictionary,
     broadcast_ground_truth,
-    extract_hrefs_udf,
-    make_verify_udf,
-    strip_text_udf,
+    make_process_page_udf,
 )
 from ..operators.bloom import ShardedBloom
 from ..sources.warehouse import Warehouse
@@ -292,7 +290,7 @@ class FrontierCrawler:
         self.priority_expr = priority_expr or (lambda url: F.lit(0))
         self.fetcher = fetcher or FixtureFetcher(pages, self.cfg.fetch_partitions)
         self.robots_udf = make_robots_udf(spark, robots, self.cfg.user_agent)
-        self.verify_udf = make_verify_udf(
+        self.process_page_udf = make_process_page_udf(
             broadcast_ground_truth(spark, ground_truth),
             broadcast_dictionary(spark, dictionary),
         )
@@ -400,31 +398,25 @@ class FrontierCrawler:
             granted = eligible
         blocked = requests.filter(~F.col("robots_ok"))
 
-        # 3. fetch + strip + extract + verify (the Arrow-UDF stage) --------
+        # 3. fetch + fused strip/extract/verify (ONE Arrow round trip) -----
         fetched = self.fetcher.fetch(granted, rnd)
         is_landing = F.col("phase") == "landing"
-        expanding = (F.col("contents") != "") & (
-            is_landing | (F.col("depth_count") < cfg.max_depth)
-        )
+        depth_ok = F.col("depth_count") < cfg.max_depth
         processed = (
-            fetched.withColumn("contents", strip_text_udf(F.col("html")))
-            .withColumn("expanding", expanding)
-            .withColumn(
-                "hrefs",
-                F.when(F.col("expanding"), extract_hrefs_udf(F.col("html"))).otherwise(
-                    F.array().cast("array<string>")
-                ),
+            fetched.withColumn(
+                "_pp", self.process_page_udf(F.col("html"), is_landing, depth_ok)
             )
+            .withColumn("contents", F.col("_pp.contents"))
+            .withColumn("hrefs", F.col("_pp.hrefs"))
+            .withColumn("sim_raw", F.col("_pp.sim_raw"))
+            .drop("_pp")
             .withColumn(
-                "sim_raw",
-                F.when(
-                    ~is_landing & (F.col("contents") != ""),
-                    self.verify_udf(F.col("contents")),
-                ).otherwise(F.lit(0.0)),
+                "expanding",
+                (F.col("contents") != "") & (is_landing | depth_ok),
             )
             .persist()
         )
-        processed.count()  # materialize: fetch/UDFs run exactly once
+        processed.count()  # materialize: fetch/UDF run exactly once
 
         # 4. candidate admission: Bloom pre-filter + exact anti path -------
         cand = processed.filter("expanding").select(
