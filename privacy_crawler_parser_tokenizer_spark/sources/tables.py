@@ -38,6 +38,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def load_seed_list(path: str, n: int | None = None) -> list[str]:
+    """Reference seed-list scan: JSON object {rank: domain} -> ordered
+    domain list via dict insertion order (== ``json.load(fp).values()``,
+    reference src/crawler.py:335-338), truncated to the first n
+    (crawler.py:337-338)."""
+    import json
+
+    with open(path) as fp:
+        domains = list(json.load(fp).values())
+    return domains[:n] if n is not None else domains
+
+
 def documents_as_rich_html(df: DataFrame) -> DataFrame:
     """Adapter for the flagship query: render each flat document as a
     multi-span HTML page (header = first 4 words, two paragraph halves,

@@ -70,3 +70,34 @@ def test_spark_binaryfile_path_equals_kernel(spark):
         raw = open(f, "rb").read()
         want = [s.as_tuple() for s in extract_spans(raw.decode("utf-8", "replace"))]
         assert got[os.path.basename(f)] == want, f
+
+
+def test_frontier_over_real_alexa_top10k(spark, tmp_path):
+    """The engine ingests the reference's actual Alexa Top-10K seed
+    list (rank order preserved) and schedules all 10,000 domains in one
+    round (every fetch fails -> every domain classifies failed_access,
+    matching the reference's no-access path)."""
+    from privacy_crawler_parser_tokenizer_spark.plans.frontier import (
+        FrontierConfig,
+        FrontierCrawler,
+        PythonFetcher,
+    )
+    from privacy_crawler_parser_tokenizer_spark.sources.tables import load_seed_list
+
+    seeds = load_seed_list("/root/reference/data/inputs/alexa.json")
+    assert len(seeds) == 10_000 and seeds[0] == "google.com"
+
+    fc = FrontierCrawler(
+        spark, str(tmp_path / "wh"), fetcher=PythonFetcher(lambda u: ""),
+        seeds=seeds, config=FrontierConfig(bloom_capacity=1 << 14),
+    )
+    run = fc.run()
+    assert run.rounds == 1
+    m = fc.metrics().collect()
+    assert m[0].granted == 10_000 and m[0].active_domains == 10_000
+    outcomes = fc.outcomes()
+    assert outcomes.count() == 10_000
+    assert outcomes.filter("outcome = 'failed_access'").count() == 10_000
+    # seed order preserved end to end
+    first = outcomes.orderBy("seed_rank").limit(3).collect()
+    assert [r.domain for r in first] == ["google.com", "youtube.com", "amazon.com"]
