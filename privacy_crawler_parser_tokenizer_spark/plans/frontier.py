@@ -733,6 +733,62 @@ class FrontierCrawler:
             F.coalesce(F.col("sim_avg"), F.lit(0.0)).alias("sim_avg"),
         )
 
+    def summary_report(self, timestamp: str = "") -> str:
+        """The reference's summary.txt audit trail (produce_summary,
+        src/crawler.py:243-283): header counts + percentages, then one
+        section per accessible domain with a status line per visited
+        link.  Aggregates computed in Spark; only the small final
+        results are collected for driver-side formatting."""
+        outcomes = {r.seed_rank: r for r in self.outcomes().collect()}
+        log_rows = self.crawl_log().collect()
+        n_domains = len(outcomes) or 1
+        counts = {"successful": 0, "failed_access": 0, "no_links": 0,
+                  "failed_links": 0}
+        for r in outcomes.values():
+            counts[r.outcome] += 1
+        n_ok_links = sum(1 for r in log_rows if r.valid)
+        n_bad_links = len(log_rows) - n_ok_links
+
+        def pct(n):
+            return round(n / n_domains * 100, 2)
+
+        out = [f"Summary of Crawler Output ({timestamp})"]
+        out.append(f"   # of Successful Domains = {counts['successful']}"
+                   f" ({pct(counts['successful'])}%).")
+        out.append(f"   Could not access {counts['failed_access']}"
+                   f" ({pct(counts['failed_access'])}%) domains.")
+        out.append(f"   No links found for {counts['no_links']}"
+                   f" ({pct(counts['no_links'])}%) domains.")
+        out.append(f"   No valid links found for {counts['failed_links']}"
+                   f" ({pct(counts['failed_links'])}%) domains.")
+        out.append(f"   # of successful links = {n_ok_links}.")
+        out.append(f"   # of failed links = {n_bad_links}.")
+        out.append("")
+
+        by_domain: dict[int, list] = {}
+        for r in log_rows:
+            by_domain.setdefault(r.seed_rank, []).append(r)
+        for rank in sorted(outcomes):
+            o = outcomes[rank]
+            if o.outcome == "failed_access":
+                continue  # reference skips inaccessible domains (:265)
+            if o.outcome == "no_links":
+                out.append(f"{o.domain} -- NO_LINKS")
+                out.append("")
+                continue
+            out.append(f"{o.domain} (avg sim = {round(o.sim_avg, 2)})")
+            for link in by_domain.get(rank, []):
+                doc = link.doc_id or "None"
+                if not link.fetched:
+                    status = "NO_ACCESS"
+                elif link.duplicate:
+                    status = "DUPLICATE"
+                else:
+                    status = str(round(link.sim, 2))
+                out.append(f"=> ({status}) {link.url} -> {doc} & {doc}.txt")
+            out.append("")
+        return "\n".join(out) + "\n"
+
     def _union_deltas(self, table: str, schema: str) -> DataFrame:
         last = self.wh.last_committed_round()
         return self._load_union(

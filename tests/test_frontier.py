@@ -256,3 +256,27 @@ def test_frontier_cuckoo_filter_same_result(spark, tmp_path):
         config_kw={"seen_filter": "cuckoo"},
     )
     assert_matches_oracle(fc, res)
+
+
+def test_summary_report_format(spark, tmp_path):
+    """Audit-trail report in the reference's summary.txt shape
+    (produce_summary, crawler.py:243-283)."""
+    landing = '<a href="/privacy">privacy</a><p>welcome to the site</p>'
+    pages = {
+        "http://a.com": landing,
+        "http://a.com/privacy": POLICY,
+        "http://b.com": landing,
+        "http://b.com/privacy": POLICY,
+        # c.com inaccessible
+    }
+    seeds = ["a.com", "b.com", "c.com"]
+    fc = run_frontier(spark, tmp_path / "wh", pages, seeds)
+    rep = fc.summary_report(timestamp="_test")
+    assert rep.startswith("Summary of Crawler Output (_test)")
+    assert "# of Successful Domains = 1 (33.33%)." in rep
+    assert "Could not access 1 (33.33%) domains." in rep
+    assert "No links found for 1 (33.33%) domains." in rep
+    assert "a.com (avg sim = " in rep
+    assert "b.com -- NO_LINKS" in rep
+    assert "c.com" not in rep          # inaccessible domains skipped
+    assert "=> (0." in rep and "http://a.com/privacy -> a_1 & a_1.txt" in rep
