@@ -130,6 +130,36 @@ def q_exact_dedup(spark, sf_dir):
 
 
 @query(
+    "length_quantiles",
+    f"""
+    WITH w AS ({_WORDS_SQL})
+    SELECT lang,
+           round(quantile_cont(len(words), 0.25), 6) AS q25,
+           round(quantile_cont(len(words), 0.5), 6) AS q50,
+           round(quantile_cont(len(words), 0.75), 6) AS q75,
+           CAST(min(len(words)) AS BIGINT) AS lo,
+           CAST(max(len(words)) AS BIGINT) AS hi
+    FROM (SELECT d.lang, w.words FROM w JOIN documents d ON w.doc_id = d.doc_id)
+    GROUP BY lang
+    """,
+)
+def q_length_quantiles(spark, sf_dir):
+    """Boxplot statistics family (reference: src/statistics/lists.py:53-76,
+    verify.py:282-287): exact linear-interpolated quantiles of word
+    counts per language (Spark percentile == DuckDB quantile_cont)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = word_count_col(F.col("text"))
+    base = docs.select("lang", n.alias("n"))
+    return base.groupBy("lang").agg(
+        F.round(F.expr("percentile(n, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("q50"),
+        F.round(F.expr("percentile(n, 0.75)"), 6).alias("q75"),
+        F.min("n").cast("long").alias("lo"),
+        F.max("n").cast("long").alias("hi"),
+    )
+
+
+@query(
     "lang_freq",
     "SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang",
 )
@@ -1058,6 +1088,29 @@ def q_events_running_avg(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return e.select("event_id", F.round(F.avg("value").over(w), 6).alias("run_avg"))
+
+
+@query(
+    "events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS h, event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 6) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark, sf_dir):
+    """Tumbling event-time window aggregation, batch form (the
+    streaming twin with watermark is streaming/jobs.windowed_rule_counts)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 6
+        ).alias("total"),
+    )
 
 
 @query(
