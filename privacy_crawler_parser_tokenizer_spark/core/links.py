@@ -24,14 +24,8 @@ from .urls import complete_link
 PRIVACY_POLICY_KEYWORDS = ["privacy"]  # reference: src/crawler.py:20
 
 
-def extract_candidate_hrefs(html: str | bytes, keywords=None) -> list[str]:
-    """Raw hrefs of <a> tags whose single-string text or href contains a
-    keyword (case-insensitive), in document order.  Duplicates retained
-    (the caller's seen-set bumps counts on them, crawler.py:111)."""
-    if not html:
-        return []
+def _hrefs_from_root(root, keywords=None) -> list[str]:
     keywords = keywords or PRIVACY_POLICY_KEYWORDS
-    root = parse_html(html)
     out: list[str] = []
     for kw in keywords:
         for link in root.find_all("a"):
@@ -42,6 +36,32 @@ def extract_candidate_hrefs(html: str | bytes, keywords=None) -> list[str]:
             if kw in s.lower() or kw in href.lower():
                 out.append(href)
     return out
+
+
+def extract_candidate_hrefs(html: str | bytes, keywords=None) -> list[str]:
+    """Raw hrefs of <a> tags whose single-string text or href contains a
+    keyword (case-insensitive), in document order.  Duplicates retained
+    (the caller's seen-set bumps counts on them, crawler.py:111)."""
+    if not html:
+        return []
+    return _hrefs_from_root(parse_html(html), keywords)
+
+
+def strip_and_candidate_hrefs(html: str | bytes,
+                              want_links: bool = True) -> tuple[str, list[str]]:
+    """Single-parse (stripped_text, candidate hrefs) for the frontier's
+    fused page-processing UDF: link extraction scans the raw tree (the
+    reference scans the unmodified page, crawler.py:90-138), THEN the
+    bad tags are decomposed in place for the visible-text strip
+    (verify.py:70-104) — one parse instead of two."""
+    if not html:
+        return "", []
+    from .spans import BAD_TAGS_REFERENCE
+
+    root = parse_html(html)
+    hrefs = _hrefs_from_root(root) if want_links else []
+    root.decompose_all(BAD_TAGS_REFERENCE)
+    return " ".join(root.stripped_strings()), hrefs
 
 
 def is_junk_href(href: str) -> bool:

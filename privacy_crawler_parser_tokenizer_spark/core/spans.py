@@ -143,6 +143,25 @@ def extract_spans(html: str | bytes, media: bool = True) -> list[Span]:
     return spans
 
 
+def extract_doc(html: str | bytes, media: bool = True) -> tuple[list[Span], str]:
+    """Single-parse (spans, stripped_text): the per-doc UDF path parsed
+    the document twice (extract_spans then strip_text — the stdlib
+    HTML parse is ~90% of kernel time); this parses once, walks the
+    tree for spans, then decomposes the media tags in place and joins
+    stripped strings.  Bit-identical to calling the two functions
+    separately (the walk never mutates the tree; media removal after
+    extraction reproduces strip_text's BAD_TAGS_REFERENCE set)."""
+    if not html:
+        return [], ""
+    root = parse_html(html)
+    remove_bad_tags(root, media=media)
+    spans: list[Span] = []
+    _walk(root, spans, media)
+    if media:
+        root.decompose_all(list(_MEDIA_TAGS))
+    return spans, " ".join(root.stripped_strings())
+
+
 def tag_indices(spans: list[Span]) -> list[int]:
     """Global per-kind ordinal for each span (0-based within its kind).
 

@@ -30,9 +30,14 @@ from pyspark.sql.types import (
 )
 
 from ..core.english import is_english
-from ..core.links import extract_candidate_hrefs
+from ..core.links import extract_candidate_hrefs, strip_and_candidate_hrefs
 from ..core.sentencize import sent_tokenize
-from ..core.spans import compare_parsed_text, extract_spans, strip_text
+from ..core.spans import (
+    compare_parsed_text,
+    extract_doc,
+    extract_spans,
+    strip_text,
+)
 from ..core.tfidf import tfidf_cosine_counts, tokenize_counts
 
 # deep HTML trees: the reference raises the recursion limit for its
@@ -85,8 +90,11 @@ def extract_doc_udf(html: pd.Series, auto_text: pd.Series) -> pd.DataFrame:
     spans_out, text_out, residual_out = [], [], []
     for h, t in zip(html, auto_text):
         h = h or ""
-        spans = extract_spans(h)
-        stripped = t if isinstance(t, str) and t != "" else strip_text(h)
+        if isinstance(t, str) and t != "":
+            spans = extract_spans(h)
+            stripped = t
+        else:
+            spans, stripped = extract_doc(h)  # single parse
         residual = len(compare_parsed_text(spans, stripped)) if stripped else 0
         spans_out.append([s.as_tuple() for s in spans])
         text_out.append(stripped)
@@ -185,9 +193,10 @@ def make_process_page_udf(bc_gt_counts, bc_dictionary):
         out_contents, out_hrefs, out_sim = [], [], []
         for h, landing, dok in zip(html, is_landing, expand_ok):
             h = h or ""
-            contents = strip_text(h) if h else ""
-            expanding = contents != "" and (landing or dok)
-            hrefs = extract_candidate_hrefs(h) if expanding else []
+            contents, raw_hrefs = strip_and_candidate_hrefs(
+                h, want_links=bool(landing or dok)
+            ) if h else ("", [])
+            hrefs = raw_hrefs if contents != "" else []
             if not landing and contents:
                 sim = (
                     tfidf_cosine_counts(gt, tokenize_counts(contents))
