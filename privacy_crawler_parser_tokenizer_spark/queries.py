@@ -170,6 +170,97 @@ def q_lang_freq(spark, sf_dir):
     )
 
 
+@query(
+    "lang_rollup",
+    """
+    SELECT coalesce(lang, 'ALL') AS lang_group,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY ROLLUP(lang)
+    """,
+)
+def q_lang_rollup(spark, sf_dir):
+    """Hierarchical aggregation (ROLLUP): per-language + grand-total
+    rows in one pass (grouping-sets family coverage)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.rollup("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    ).select(
+        F.coalesce("lang", F.lit("ALL")).alias("lang_group"), "n_docs", "total_chars"
+    )
+
+
+@query(
+    "neardup_not_exact",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    near AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
+    ),
+    ident AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE a.emb = b.emb
+    )
+    SELECT a, b FROM near EXCEPT SELECT a, b FROM ident
+    """,
+)
+def q_neardup_not_exact(spark, sf_dir):
+    """Set-operation coverage (EXCEPT): near-duplicate pairs that are
+    not byte-identical vectors — the 'fuzzy-only' dedup candidates."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    near = pairs.filter(_cos_spark(F.col("a.emb"), F.col("b.emb")) >= 0.3).select(
+        F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b")
+    )
+    ident = pairs.filter(F.col("a.emb") == F.col("b.emb")).select(
+        F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b")
+    )
+    return near.exceptAll(ident).distinct()
+
+
+@query(
+    "docs_without_pairs",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    near AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
+    )
+    SELECT vec_id FROM e
+    WHERE vec_id NOT IN (SELECT a FROM near) AND vec_id NOT IN (SELECT b FROM near)
+    """,
+)
+def q_docs_without_pairs(spark, sf_dir):
+    """Anti-join coverage: vectors untouched by any near-dup pair (the
+    keep-set after dedup candidate generation)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    near = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(_cos_spark(F.col("a.emb"), F.col("b.emb")) >= 0.3)
+        .select(F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b"))
+    )
+    touched = near.select(F.col("a").alias("vec_id")).unionByName(
+        near.select(F.col("b").alias("vec_id"))
+    ).distinct()
+    return emb.select("vec_id").join(touched, "vec_id", "left_anti")
+
+
 _CHAR_BINS = "[0, 100, 200, 400, 800, 1600, 3200, 6400]"
 
 
