@@ -175,6 +175,30 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def crawl_log_stream(spark: SparkSession, warehouse_dir: str) -> DataFrame:
+    """Streaming source over the frontier's crawl_log delta snapshots:
+    each committed round drops new parquet files under
+    ``crawl_log/snap=<round>/``, which the file source picks up
+    incrementally — live observability while a crawl runs."""
+    from ..plans.frontier import _LOG_SCHEMA
+
+    return (
+        spark.readStream.schema(_LOG_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{warehouse_dir}/crawl_log/snap=*")
+    )
+
+
+def crawl_monitor(log_stream: DataFrame) -> DataFrame:
+    """Per-round crawl health: fetches, policy hits, duplicates."""
+    return log_stream.groupBy("round").agg(
+        F.count("*").alias("requests"),
+        F.sum(F.col("fetched").cast("int")).alias("fetched"),
+        F.sum((F.col("valid") & ~F.col("duplicate")).cast("int")).alias("policies"),
+        F.sum(F.col("duplicate").cast("int")).alias("duplicates"),
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "append") -> None:
     """Drain a stream with the availableNow trigger into a memory sink

@@ -134,3 +134,37 @@ def test_frame_sample_offsets(spark):
         mm.frame_sample_offsets(F.lit(1000), n_frames=4).alias("offs")
     )
     assert df.collect()[0].offs == [0, 250, 500, 750]
+
+
+def test_crawl_log_streaming_monitor(spark, tmp_path):
+    """Streaming monitor over the frontier's own crawl_log deltas:
+    per-round counts must equal the batch metrics."""
+    from privacy_crawler_parser_tokenizer_spark.plans.frontier import (
+        FrontierConfig,
+        FrontierCrawler,
+    )
+    from privacy_crawler_parser_tokenizer_spark.sources.synth import (
+        gen_web,
+        make_dictionary,
+        make_ground_truth,
+    )
+
+    pages, seeds, robots = gen_web(n_domains=5, seed=3)
+    fc = FrontierCrawler(
+        spark, str(tmp_path / "wh"),
+        pages=spark.createDataFrame(list(pages.items()), "url string, html string"),
+        seeds=seeds, ground_truth=make_ground_truth(),
+        dictionary=make_dictionary(), robots=robots,
+        config=FrontierConfig(threshold=0.3, bloom_capacity=1 << 12),
+    )
+    fc.run()
+
+    mon = jobs.crawl_monitor(jobs.crawl_log_stream(spark, str(tmp_path / "wh")))
+    jobs.run_to_memory(mon, "crawl_mon", output_mode="complete")
+    got = {r.round: (r.requests, r.policies) for r in spark.table("crawl_mon").collect()}
+    batch = fc.crawl_log().groupBy("round").count().collect()
+    want_requests = {r.round: r["count"] for r in batch}
+    assert {k: v[0] for k, v in got.items()} == want_requests
+    policies = {m.round: m.policies for m in fc.metrics().collect() if m.round in got}
+    for rnd, (_, pol) in got.items():
+        assert pol == policies[rnd]
