@@ -174,6 +174,33 @@ def corpus_rule_histogram(rule_counts: DataFrame) -> DataFrame:
     )
 
 
+def save_reference_outputs(tables: dict[str, DataFrame], out_dir: str) -> None:
+    """The reference's CSV sinks (src/parser-tokenizer.py:71-106,229-234)
+    re-expressed as partitioned CSV datasets: per-kind span rows and the
+    sentence table, partitioned by doc_id (one directory per document ==
+    the reference's one-CSV-per-document layout), plus the corpus rule
+    histogram.  Headers on; arrays joined with '-' as the reference
+    does for rule hits."""
+    spans = tables["spans"].select(
+        "doc_id", "kind", "tag", "offset", "prec_by", "proc_by", "text"
+    )
+    spans.write.mode("overwrite").option("header", True).partitionBy(
+        "doc_id"
+    ).csv(f"{out_dir}/spans_csv")
+
+    sentences = tables["sentences"].select(
+        "doc_id", "seq_index", "tag", "prec_by", "proc_by", "sent_idx",
+        "text", "n_words", F.array_join("rule_hits", "-").alias("rules"),
+    )
+    sentences.write.mode("overwrite").option("header", True).partitionBy(
+        "doc_id"
+    ).csv(f"{out_dir}/sentences_csv")
+
+    tables["corpus_hist"].write.mode("overwrite").option("header", True).csv(
+        f"{out_dir}/rule_histogram_csv"
+    )
+
+
 def parse_tokenize(docs: DataFrame) -> dict[str, DataFrame]:
     """Full §3.2 pipeline; returns the named output tables."""
     extracted = extract_documents(docs)

@@ -168,3 +168,27 @@ def test_crawl_log_streaming_monitor(spark, tmp_path):
     policies = {m.round: m.policies for m in fc.metrics().collect() if m.round in got}
     for rnd, (_, pol) in got.items():
         assert pol == policies[rnd]
+
+
+def test_save_reference_outputs_csv(spark, tmp_path):
+    """§2.1 CSV sinks: per-doc partitioned CSV datasets round-trip."""
+    from privacy_crawler_parser_tokenizer_spark.pipeline import (
+        parse_tokenize,
+        save_reference_outputs,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, h) for d, h in HTML_DOCS], "doc_id string, html string"
+    )
+    out = parse_tokenize(docs)
+    save_reference_outputs(out, str(tmp_path / "csv"))
+
+    sent = (
+        spark.read.option("header", True).csv(str(tmp_path / "csv" / "sentences_csv"))
+    )
+    assert sent.count() == out["sentences"].count() > 0
+    assert "rules" in sent.columns and "doc_id" in sent.columns
+    # one partition dir per document
+    import glob as g
+    dirs = g.glob(str(tmp_path / "csv" / "sentences_csv" / "doc_id=*"))
+    assert len(dirs) == out["sentences"].select("doc_id").distinct().count()
