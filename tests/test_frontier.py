@@ -280,3 +280,46 @@ def test_summary_report_format(spark, tmp_path):
     assert "b.com -- NO_LINKS" in rep
     assert "c.com" not in rep          # inaccessible domains skipped
     assert "=> (0." in rep and "http://a.com/privacy -> a_1 & a_1.txt" in rep
+
+
+def test_frontier_adversarial_web(spark, tmp_path):
+    """Crafted edge-case web: link cycles across domains, self-links,
+    links back to the landing page, query-string URLs (kept: only the
+    fragment is stripped), unicode URLs, duplicate hrefs within one
+    page (seen-set bump), and a link to an empty page.  Exact parity."""
+    a_land = (
+        '<a href="/privacy?lang=en#frag">privacy</a>'
+        '<a href="/privacy?lang=en#other">privacy</a>'   # same url post-clean
+        '<a href="http://b.com/privacy-b">privacy b</a>'
+        '<p>welcome page</p>'
+    )
+    b_land = (
+        '<a href="http://a.com/privacy?lang=en">privacy a</a>'  # cross link
+        '<a href="/privacy-ü">privacy unicode</a>'
+        '<p>second welcome</p>'
+    )
+    a_policy = (
+        '<a href="http://a.com/privacy?lang=en">privacy self</a>'  # self-link
+        '<a href="http://a.com">privacy home</a>'                  # back to landing
+        + POLICY
+    )
+    pages = {
+        "http://a.com": a_land,
+        "http://a.com/privacy?lang=en": a_policy,
+        "http://b.com": b_land,
+        "http://b.com/privacy-b": POLICY.replace("cookies", "pixels"),
+        "http://b.com/privacy-ü": "",   # fetch failure
+    }
+    seeds = ["a.com", "b.com"]
+    res = run_oracle(pages, seeds, max_depth=3)
+    fc = run_frontier(spark, tmp_path / "wh", pages, seeds, max_depth=3)
+    assert_matches_oracle(fc, res)
+    # the quirks actually fired: the cycle back to a.com's landing
+    # re-extracts it, bumping every landing href once; the two distinct
+    # raw hrefs (#frag/#other) each entered the seen set separately and
+    # deduped to ONE frontier entry post-clean; cross+self links probed
+    assert res.seen["/privacy?lang=en#frag"] == 1
+    assert res.seen["/privacy?lang=en#other"] == 1
+    assert res.seen["http://a.com/privacy?lang=en"] >= 1
+    a_urls = [r.url for r in res.crawl_log if r.domain == "a.com"]
+    assert a_urls.count("http://a.com/privacy?lang=en") == 1
