@@ -3,9 +3,9 @@
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
 
 Each query is forced end-to-end with the noop sink (full materialization,
-no driver collect).  Set BENCH_QUERIES=q1,q2 to subset; BENCH_SCALING=1
-additionally runs the frontier job at two parallelism levels and reports
-scaling efficiency (the in-sandbox stand-in for N vs 4N executors).
+no driver collect).  Set BENCH_QUERIES=q1,q2 to subset.  Scaling
+efficiency (N vs 4N cores) is measured separately by
+tools/bench_scaling.py and recorded in BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -25,16 +25,25 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = [
     "rule_hits",
     "quality_scores",
+    "lang_id",
     "fingerprints",
+    "token_counts",
     "verify_scores",
+    "english_gate",
     "simhash",
     "minhash_bands",
     "lsh_candidate_pairs",
+    "exact_dedup",
     "sentence_pipeline",
     "pricing_summary",
     "top_customers",
+    "lang_rollup",
+    "sessionize",
     "events_neighbor_context",
+    "events_hourly",
     "embedding_topk",
+    "ivf_topk",
+    "embedding_neardup",
     "frontier_crawl",
 ]
 

@@ -323,3 +323,32 @@ def test_frontier_adversarial_web(spark, tmp_path):
     assert res.seen["http://a.com/privacy?lang=en"] >= 1
     a_urls = [r.url for r in res.crawl_log if r.domain == "a.com"]
     assert a_urls.count("http://a.com/privacy?lang=en") == 1
+
+
+def test_frontier_kitchen_sink(spark, tmp_path):
+    """Everything at once: 25 domains, politeness budget, robots,
+    priority dequeue, cuckoo seen-filter, aggressive compaction,
+    depth 3 — exact oracle equality across all outputs."""
+    from pyspark.sql import functions as F
+
+    pages, seeds, robots = gen_web(n_domains=25, seed=99)
+
+    def prio(url):
+        return 0 if "details" in url else 1
+
+    res = CrawlOracle(
+        pages, seeds, ground_truth=GT, dictionary=DICT, threshold=0.3,
+        robots=robots, host_budget=2, max_depth=3, priority_fn=prio,
+    ).run()
+
+    fc = FrontierCrawler(
+        spark, str(tmp_path / "wh"),
+        pages=spark.createDataFrame(list(pages.items()), "url string, html string"),
+        seeds=seeds, ground_truth=GT, dictionary=DICT, robots=robots,
+        config=FrontierConfig(threshold=0.3, host_budget=2, max_depth=3,
+                              bloom_capacity=1 << 12, seen_filter="cuckoo",
+                              compact_every=3),
+        priority_expr=lambda url: F.when(url.contains("details"), 0).otherwise(1),
+    )
+    fc.run()
+    assert_matches_oracle(fc, res)
