@@ -633,6 +633,21 @@ def _cos_spark(a, b):
     return dot / (n1 * n2)
 
 
+def _unit_emb(col):
+    """L2-normalized copy of an embedding array: norms computed once per
+    VECTOR so pair joins only pay a dot product (computing both norms
+    inside every pair multiplies the interpreted-lambda work by the
+    pair count — 2.5M times at sf0.1 instead of 500)."""
+    norm = F.sqrt(
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    return F.transform(col, lambda x: x / norm)
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
 @query(
     "embedding_neardup",
     """
@@ -647,18 +662,24 @@ def q_embedding_neardup(spark, sf_dir):
     pair join is block-local (the 100TB path buckets by coarse quantizer
     instead of a full cross join).  Pair-id output only: rank/set
     semantics are float-noise-proof."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    a, b = emb.alias("a"), emb.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    )
-    cos = _cos_spark(F.col("a.emb"), F.col("b.emb"))
-    return pairs.filter(cos >= 0.3).select(
-        F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b")
-    )
+    import numpy as np
+    import pandas as pd
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        # block-local GEMM: one numpy matmul per bucket — the 100TB ANN
+        # shape (an expression-level pair join pays interpreted lambda
+        # cost per element; this is vectorized end to end)
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        iu = np.triu_indices(len(pdf), 1)
+        hit = sims[iu] >= 0.3
+        ids = pdf["vec_id"].to_numpy()
+        x, y = ids[iu[0][hit]], ids[iu[1][hit]]
+        return pd.DataFrame({"a": np.minimum(x, y), "b": np.maximum(x, y)})
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    return emb.groupBy("label").applyInPandas(block, "a long, b long")
 
 
 @query(
@@ -689,7 +710,7 @@ def q_ivf_topk(spark, sf_dir):
     (vec_id < 8), then exact top-k inside the query's own cell only —
     the scale path where a full scan is replaced by one-cell probes."""
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        "vec_id", _unit_emb(F.col("embedding").cast("array<double>")).alias("emb")
     )
     cent = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
@@ -697,7 +718,7 @@ def q_ivf_topk(spark, sf_dir):
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "cid")
     assign = (
         emb.crossJoin(F.broadcast(cent))
-        .withColumn("_cos", _cos_spark(F.col("emb"), F.col("cemb")))
+        .withColumn("_cos", _dot(F.col("emb"), F.col("cemb")))
         .withColumn("_rn", F.row_number().over(w_assign))
         .filter("_rn = 1")
         .select("vec_id", "cid", "emb")
@@ -711,7 +732,7 @@ def q_ivf_topk(spark, sf_dir):
     )
     w_rank = Window.partitionBy("qid").orderBy(F.desc("_cos"), "neighbor_id")
     return (
-        cand.withColumn("_cos", _cos_spark(F.col("qe"), F.col("ne")))
+        cand.withColumn("_cos", _dot(F.col("qe"), F.col("ne")))
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= 3)
         .select(F.col("qid").alias("vec_id"), "neighbor_id", "rank")
@@ -1365,24 +1386,17 @@ def q_deterministic_sample(spark, sf_dir):
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline over the embedding column
     (rank-only output: engine-portable under float noise)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _unit_emb(F.col("embedding").cast("array<double>")).alias("u")
+    )
     qv = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").cast("array<double>").alias("qe")
+        F.col("vec_id").alias("qid"), F.col("u").alias("qe")
     )
-    ev = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("ee"),
-    )
-    dot = F.aggregate(
-        F.zip_with("qe", "ee", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
+    ev = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("ee"))
     pairs = (
         qv.crossJoin(ev)
         .filter(F.col("qid") != F.col("neighbor_id"))
-        .withColumn("cos", dot / (norm(F.col("qe")) * norm(F.col("ee"))))
+        .withColumn("cos", _dot(F.col("qe"), F.col("ee")))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "neighbor_id")
     return (
