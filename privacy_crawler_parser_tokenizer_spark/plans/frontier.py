@@ -416,7 +416,12 @@ class FrontierCrawler:
             )
             .persist()
         )
-        processed.count()  # materialize: fetch/UDF run exactly once
+        # materialize (fetch/UDF run exactly once) + round stats in one job
+        _stats = processed.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.size("hrefs")), F.lit(0)).alias("n_cand"),
+        ).collect()[0]
+        n_granted, n_cand = int(_stats["n"]), int(_stats["n_cand"])
 
         # 4. candidate admission: Bloom pre-filter + exact anti path -------
         cand = processed.filter("expanding").select(
@@ -468,7 +473,6 @@ class FrontierCrawler:
         # no candidates (politeness-deferred tails) skip these writes and
         # the Bloom delta entirely — no snapshot is cheaper than an
         # empty one, and readers just see fewer delta files.
-        n_cand = cand2.count()
         n_new_links = 0
         if n_cand > 0:
             n_new_links = links_delta.count()
@@ -559,7 +563,6 @@ class FrontierCrawler:
             F.lit(None).cast("string").alias("doc_id"),
         )
         wh.write(visit_log.unionByName(blocked_log), "crawl_log", rnd)
-        log_delta = self._load("crawl_log", rnd)
 
         docs_delta = visits.filter(
             (F.col("contents") != "") & is_policy & ~F.col("dup")
@@ -647,10 +650,20 @@ class FrontierCrawler:
         )
         wh.write(state_new, "domain_state", rnd)
 
-        # 8. metrics (n_new_links computed at the delta write, step 5) ------
-        n_granted = processed.count()
+        # 8. metrics (n_granted/n_cand from the materialization agg,
+        #    n_new_links from the delta write, n_policies from the
+        #    cached visits frame — no parquet read-backs)
         n_fetched = n_granted  # every granted request issues one fetch
-        n_policies = log_delta.filter("valid AND NOT duplicate").count()
+        n_policies = int(
+            visits.agg(
+                F.coalesce(
+                    F.sum(
+                        ((F.col("contents") != "") & is_policy & ~F.col("dup")).cast("int")
+                    ),
+                    F.lit(0),
+                )
+            ).collect()[0][0]
+        )
         metrics = spark.createDataFrame(
             [(rnd, n_granted, n_fetched, n_new_links, n_policies, n_active)],
             _METRICS_SCHEMA,
