@@ -82,8 +82,12 @@ def main() -> None:
     next(iter(qs.values()))(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     per_query: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name in names:
-        per_query[name] = round(run_query(spark, name, qs[name]), 3)
+        try:
+            per_query[name] = round(run_query(spark, name, qs[name]), 3)
+        except Exception as e:  # one bad query must not kill the suite
+            failures[name] = f"{type(e).__name__}: {e}"[:200]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -94,6 +98,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
     }
+    if failures:
+        out["failures"] = failures
     spark.stop()
     print(json.dumps(out))
 
