@@ -210,21 +210,23 @@ def q_lang_rollup(spark, sf_dir):
 )
 def q_neardup_not_exact(spark, sf_dir):
     """Set-operation coverage (EXCEPT): near-duplicate pairs that are
-    not byte-identical vectors — the 'fuzzy-only' dedup candidates."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    a, b = emb.alias("a"), emb.alias("b")
-    pairs = a.join(
-        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    )
-    near = pairs.filter(_cos_spark(F.col("a.emb"), F.col("b.emb")) >= 0.3).select(
-        F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b")
-    )
-    ident = pairs.filter(F.col("a.emb") == F.col("b.emb")).select(
-        F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b")
-    )
-    return near.exceptAll(ident).distinct()
+    not byte-identical vectors — the 'fuzzy-only' dedup candidates.
+
+    The near side reuses the label-bucketed block-GEMM kernel (no
+    per-pair norm recomputation); the identical side is an equi-join on
+    (label, embedding) — a hash join, never a pair scan.  ``subtract``
+    is set-semantics EXCEPT, matching the oracle even if either side
+    ever carried duplicate rows."""
+    near = _neardup_pairs_gemm(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    x, y = emb.alias("x"), emb.alias("y")
+    ident = x.join(
+        y,
+        (F.col("x.label") == F.col("y.label"))
+        & (F.col("x.embedding") == F.col("y.embedding"))
+        & (F.col("x.vec_id") < F.col("y.vec_id")),
+    ).select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+    return near.subtract(ident)
 
 
 @query(
@@ -242,22 +244,15 @@ def q_neardup_not_exact(spark, sf_dir):
 )
 def q_docs_without_pairs(spark, sf_dir):
     """Anti-join coverage: vectors untouched by any near-dup pair (the
-    keep-set after dedup candidate generation)."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    keep-set after dedup candidate generation).  Near pairs come from
+    the shared block-GEMM kernel — no per-pair lambda cosine."""
+    near = _neardup_pairs_gemm(spark, sf_dir)
+    touched = (
+        near.select(F.col("a").alias("vec_id"))
+        .unionByName(near.select(F.col("b").alias("vec_id")))
+        .distinct()
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    near = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(_cos_spark(F.col("a.emb"), F.col("b.emb")) >= 0.3)
-        .select(F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b"))
-    )
-    touched = near.select(F.col("a").alias("vec_id")).unionByName(
-        near.select(F.col("b").alias("vec_id"))
-    ).distinct()
+    emb = _t(spark, sf_dir, "embeddings")
     return emb.select("vec_id").join(touched, "vec_id", "left_anti")
 
 
@@ -435,19 +430,23 @@ def q_minhash_bands(spark, sf_dir):
 )
 def q_lsh_candidate_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidates: docs sharing any band minhash.
-    The signature table is cached so the self-join's two sides don't
-    each recompute shingling+hashing over the corpus."""
-    bands = q_minhash_bands(spark, sf_dir).persist()
-    a = bands.alias("a")
-    b = bands.alias("b")
+
+    Bucket-local pair expansion instead of a signature self-join: one
+    scan of the signature table, one shuffle on (band, mh), then pairs
+    are generated inside each bucket (collect_list + double explode,
+    all codegen).  The previous self-join either recomputed the
+    shingle+minhash subtree on both sides or needed an unbounded
+    ``persist`` that leaked cache across a long session (ADVICE r01)."""
+    bands = q_minhash_bands(spark, sf_dir)
+    bucket = (
+        bands.groupBy("band", "mh")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.mh") == F.col("b.mh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        bucket.select("ids", F.explode("ids").alias("a"))
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
         .distinct()
     )
 
@@ -626,13 +625,6 @@ def q_media_meta(spark, sf_dir):
     )
 
 
-def _cos_spark(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    n1 = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    n2 = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    return dot / (n1 * n2)
-
-
 def _unit_emb(col):
     """L2-normalized copy of an embedding array: norms computed once per
     VECTOR so pair joins only pay a dot product (computing both norms
@@ -662,18 +654,26 @@ def q_embedding_neardup(spark, sf_dir):
     pair join is block-local (the 100TB path buckets by coarse quantizer
     instead of a full cross join).  Pair-id output only: rank/set
     semantics are float-noise-proof."""
+    return _neardup_pairs_gemm(spark, sf_dir)
+
+
+def _neardup_pairs_gemm(spark, sf_dir, threshold: float = 0.3) -> DataFrame:
+    """Label-bucketed near-dup candidate pairs ``(a, b)``, a < b, shared
+    by embedding_neardup / neardup_not_exact / docs_without_pairs.
+
+    Block-local GEMM: one numpy matmul per bucket — the 100TB ANN shape
+    (an expression-level pair join pays interpreted lambda cost per
+    element and recomputes both norms inside every pair; this is
+    vectorized end to end)."""
     import numpy as np
     import pandas as pd
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
-        # block-local GEMM: one numpy matmul per bucket — the 100TB ANN
-        # shape (an expression-level pair join pays interpreted lambda
-        # cost per element; this is vectorized end to end)
         m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         sims = m @ m.T
         iu = np.triu_indices(len(pdf), 1)
-        hit = sims[iu] >= 0.3
+        hit = sims[iu] >= threshold
         ids = pdf["vec_id"].to_numpy()
         x, y = ids[iu[0][hit]], ids[iu[1][hit]]
         return pd.DataFrame({"a": np.minimum(x, y), "b": np.maximum(x, y)})
@@ -1184,22 +1184,57 @@ def q_events_first_per_type(spark, sf_dir):
 @query(
     "events_running_avg",
     """
+    WITH m AS (
+      SELECT event_id, user_id, ts,
+             CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS micro
+      FROM events),
+    s AS (
+      SELECT event_id,
+             sum(micro) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ssum,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
+      FROM m)
     SELECT event_id,
-           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_avg
-    FROM events
+           CAST(CASE WHEN ssum >= 0 THEN (2*ssum + cnt) // (2*cnt)
+                ELSE -((-2*ssum + cnt) // (2*cnt)) END AS DOUBLE) / 1000000.0
+             AS run_avg
+    FROM s
     """,
 )
 def q_events_running_avg(spark, sf_dir):
     """Incremental running mean == the reference's add_link mean
-    (src/crawler.py:38-41), as an ordered window aggregate."""
+    (src/crawler.py:38-41), as an ordered window aggregate.
+
+    Tie-proof arithmetic: ``round(avg(double), 6)`` diverges between
+    engines when the running double sum drifts a ulp around an exact
+    .5e-6 boundary (21/10k rows at sf0.01).  Instead the value is
+    quantized once to exact integer micro-units via the
+    decimal(20,6) cast (the proven events_hourly pattern), the running
+    sum/count stay exact integers, and half-away-from-zero rounding is
+    integer division — bit-identical on any engine."""
     e = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return e.select("event_id", F.round(F.avg("value").over(w), 6).alias("run_avg"))
+    micro = (F.col("value").cast("decimal(20,6)") * 1000000).cast("long")
+    return (
+        e.select(
+            "event_id",
+            F.sum(micro).over(w).alias("_s"),
+            F.count(F.lit(1)).over(w).alias("_c"),
+        )
+        .withColumn(
+            "run_avg",
+            F.expr(
+                "CAST(CASE WHEN _s >= 0 THEN (2*_s + _c) DIV (2*_c) "
+                "ELSE -((-2*_s + _c) DIV (2*_c)) END AS DOUBLE) / 1000000.0"
+            ),
+        )
+        .select("event_id", "run_avg")
+    )
 
 
 @query(
@@ -1269,12 +1304,17 @@ def q_politeness_window(spark, sf_dir):
 )
 def q_order_outcomes(spark, sf_dir):
     """Outcome classification summary (produce_summary analog,
-    src/crawler.py:243-283)."""
+    src/crawler.py:243-283).  The grand total is computed in-plan (an
+    unpartitioned window sum over the few grouped rows), not via a
+    driver-side ``count()`` action in the query-build path — the
+    oracle's scalar subquery equals the sum of the group counts."""
     o = _t(spark, sf_dir, "orders")
-    total = o.count()
-    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
-        F.count("*").alias("cnt"),
-        F.round(F.count("*") * 100.0 / F.lit(total), 2).alias("pct"),
+    g = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("cnt")
+    )
+    total = F.sum("cnt").over(Window.partitionBy())
+    return g.select(
+        "status", "cnt", F.round(F.col("cnt") * 100.0 / total, 2).alias("pct")
     )
 
 
