@@ -41,6 +41,13 @@ class CuckooFilter:
         self.buckets = np.zeros((self.m, BUCKET_SLOTS), dtype=np.uint16)
         self.rng = np.random.default_rng(seed)
         self.n_items = 0
+        # no-false-negatives contract: once any insert fails (table
+        # full), the filter degrades to all-pass — dropping a
+        # fingerprint would make might_contain return False for a
+        # present key, and the frontier routes ~might_contain rows
+        # around the exact anti-join (plans/frontier.py candidate
+        # admission), so a false negative would re-admit a seen URL
+        self.overflowed = False
 
     # -- hashing -----------------------------------------------------------
     def _fingerprints(self, values: pd.Series) -> np.ndarray:
@@ -77,18 +84,26 @@ class CuckooFilter:
         return False  # table full — caller should have sized capacity
 
     def add(self, values: pd.Series) -> int:
-        """Insert a batch; returns number successfully placed."""
+        """Insert a batch; returns number successfully placed.  A failed
+        placement sets ``overflowed`` (filter degrades to all-pass)."""
         if len(values) == 0:
             return 0
         fps = self._fingerprints(values)
         i1s = self._index1(values)
         ok = 0
         for i1, fp in zip(i1s, fps):
-            ok += self._insert_fp(int(i1), int(fp))
+            if self._insert_fp(int(i1), int(fp)):
+                ok += 1
+            else:
+                self.overflowed = True
         self.n_items += ok
         return ok
 
     def might_contain(self, values: pd.Series) -> np.ndarray:
+        if self.overflowed:
+            # degrade to pass-through: every probe takes the exact
+            # anti-join path, preserving correctness at reduced speed
+            return np.ones(len(values), dtype=bool)
         if len(values) == 0:
             return np.zeros(0, dtype=bool)
         fps = self._fingerprints(values)
@@ -119,12 +134,17 @@ class CuckooFilter:
 
     def merge(self, other: "CuckooFilter") -> "CuckooFilter":
         """Fold another filter's fingerprints in (slot-level re-insert;
-        possible because the partner index derives from fp alone)."""
+        possible because the partner index derives from fp alone).
+        Only successful placements count; a failure overflows self."""
         assert self.m == other.m
+        if other.overflowed:
+            self.overflowed = True
         idx, slot = np.nonzero(other.buckets)
         for i, s in zip(idx, slot):
-            self._insert_fp(int(i), int(other.buckets[i, s]))
-            self.n_items += 1
+            if self._insert_fp(int(i), int(other.buckets[i, s])):
+                self.n_items += 1
+            else:
+                self.overflowed = True
         return self
 
     @property

@@ -91,6 +91,36 @@ class Warehouse:
             m["snapshots"].remove(s)
         _atomic_write_json(self._manifest_path(table), m)
 
+    # -- monitor guards ----------------------------------------------------
+    def _monitors_dir(self) -> str:
+        return os.path.join(self.root, "_monitors")
+
+    def acquire_monitor(self, table: str) -> str:
+        """Mark ``table`` as having an attached streaming reader.  While
+        any marker exists, ``compact`` skips the table: compaction moves
+        data into ``compact=`` dirs and deletes the ``snap=`` dirs a
+        file-source stream is globbing, so a running monitor would miss
+        compacted rounds (or race the deletion of files it has not read
+        yet).  Returns the marker path for ``release_monitor``."""
+        d = self._monitors_dir()
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, f"{table}.{os.getpid()}")
+        with open(marker, "w") as fp:
+            fp.write("")
+        return marker
+
+    def release_monitor(self, marker: str) -> None:
+        try:
+            os.remove(marker)
+        except FileNotFoundError:
+            pass
+
+    def monitored(self, table: str) -> bool:
+        d = self._monitors_dir()
+        if not os.path.isdir(d):
+            return False
+        return any(f.startswith(f"{table}.") for f in os.listdir(d))
+
     def snapshot_path(self, table: str, snapshot: int) -> str:
         """Data dir of a snapshot (compacted snapshots live in mapped
         dirs recorded in the manifest)."""
@@ -107,6 +137,8 @@ class Warehouse:
         written first, the manifest swap is one atomic rename, and old
         dirs are deleted only after the manifest points away from them.
         """
+        if self.monitored(table):
+            return  # a streaming reader is globbing the snap= dirs
         m = self._manifest(table)
         snaps = sorted(s for s in m["snapshots"] if s <= upto)
         if len(snaps) <= 1:

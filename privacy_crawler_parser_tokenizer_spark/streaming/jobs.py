@@ -138,8 +138,13 @@ def _assign_sessions(key, pdf_iter: Iterator[pd.DataFrame],
                      state: GroupState) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     last_epoch, session_id = state.get if state.exists else (None, 0)
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # One group's rows can arrive split across several Arrow chunks with
+    # no inter-chunk time order; sorting each chunk independently would
+    # assign session ids out of event-time order for groups larger than
+    # one batch.  Concatenate the whole group first, then sort once.
+    chunks = list(pdf_iter)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         epochs = (pdf["ts"].astype("int64") // 10**9).tolist()
         sessions = []
         for e in epochs:
@@ -179,13 +184,34 @@ def crawl_log_stream(spark: SparkSession, warehouse_dir: str) -> DataFrame:
     """Streaming source over the frontier's crawl_log delta snapshots:
     each committed round drops new parquet files under
     ``crawl_log/snap=<round>/``, which the file source picks up
-    incrementally — live observability while a crawl runs."""
-    from ..plans.frontier import _LOG_SCHEMA
+    incrementally — live observability while a crawl runs.
 
+    Attaching acquires a monitor marker in the warehouse so a
+    concurrent crawler's periodic compaction leaves the ``snap=`` dirs
+    this glob is reading alone (compaction would move rounds into
+    ``compact=`` dirs and delete files mid-read).  Call
+    ``release_crawl_monitor(warehouse_dir)`` when the stream stops."""
+    from ..plans.frontier import _LOG_SCHEMA
+    from ..sources.warehouse import Warehouse
+
+    Warehouse(warehouse_dir).acquire_monitor("crawl_log")
     return (
         spark.readStream.schema(_LOG_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
         .parquet(f"{warehouse_dir}/crawl_log/snap=*")
+    )
+
+
+def release_crawl_monitor(warehouse_dir: str) -> None:
+    """Detach this process's crawl_log monitor marker (re-enables
+    compaction for the table)."""
+    import os
+
+    from ..sources.warehouse import Warehouse
+
+    wh = Warehouse(warehouse_dir)
+    wh.release_monitor(
+        os.path.join(wh._monitors_dir(), f"crawl_log.{os.getpid()}")
     )
 
 

@@ -102,3 +102,50 @@ def test_cuckoo_filter():
     d.add(extra)
     c.merge(d)
     assert c.might_contain(extra).all()
+
+
+def test_cuckoo_overflow_no_false_negatives():
+    """Past capacity the cuckoo must degrade to all-pass, never drop a
+    fingerprint silently (a false negative would let the frontier
+    re-admit a seen URL around the exact anti-join — ADVICE r01)."""
+    from privacy_crawler_parser_tokenizer_spark.operators.cuckoo import CuckooFilter
+
+    c = CuckooFilter(capacity=64)
+    added = pd.Series([f"http://u{i}.com/p" for i in range(5000)])
+    ok = c.add(added)
+    assert ok < len(added)          # the table genuinely overflowed
+    assert c.overflowed
+    assert c.might_contain(added).all()   # contract holds regardless
+
+    # merge into a healthy filter propagates the overflow degradation
+    healthy = CuckooFilter(capacity=64)
+    healthy.merge(c)
+    assert healthy.overflowed
+    assert healthy.might_contain(added).all()
+
+
+def test_cuckoo_merge_counts_only_successes():
+    from privacy_crawler_parser_tokenizer_spark.operators.cuckoo import CuckooFilter
+
+    a = CuckooFilter(capacity=2000)
+    b = CuckooFilter(capacity=2000)
+    a.add(pd.Series([f"a-{i}" for i in range(100)]))
+    b.add(pd.Series([f"b-{i}" for i in range(100)]))
+    n_before = a.n_items
+    a.merge(b)
+    assert a.n_items == n_before + b.n_items  # roomy merge: all placed
+    assert not a.overflowed
+
+
+def test_warehouse_monitor_blocks_compaction(spark, tmp_path):
+    """An attached streaming monitor pins the snap= dirs: compaction is
+    a no-op until the marker is released (ADVICE r01 race)."""
+    wh = Warehouse(str(tmp_path / "whm"))
+    for i in range(4):
+        wh.write(spark.createDataFrame([(i,)], "v int"), "t", i)
+    marker = wh.acquire_monitor("t")
+    wh.compact(spark, "t", 3)
+    assert sorted(wh.snapshots("t")) == [0, 1, 2, 3]  # untouched
+    wh.release_monitor(marker)
+    wh.compact(spark, "t", 3)
+    assert sorted(wh.snapshots("t")) == [3]
