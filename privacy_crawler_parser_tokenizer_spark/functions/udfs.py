@@ -215,6 +215,50 @@ def make_process_page_udf(bc_gt_counts, bc_dictionary):
     return process_page
 
 
+def make_process_batch_fn(bc_gt_counts, bc_dictionary, max_depth: int):
+    """Plain pandas-batch twin of ``make_process_page_udf`` for the
+    fully-fused fetch stage (PythonFetcher.fetch_process): the fetch
+    mapInPandas calls this on the batch it just fetched, so the hottest
+    stage pays ONE JVM<->Python round trip instead of two chained
+    Python runners (mapInPandas + ArrowEvalPython).  Reads is_landing /
+    expand_ok from the batch's ``phase`` / ``depth_count`` columns;
+    kernels and short-circuits identical to the UDF (shared ``core``)."""
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        _bump_recursion_limit()
+        gt = bc_gt_counts.value
+        words = bc_dictionary.value
+        out_contents, out_hrefs, out_sim = [], [], []
+        for h, phase, depth in zip(
+            pdf["html"], pdf["phase"], pdf["depth_count"]
+        ):
+            h = h or ""
+            landing = phase == "landing"
+            dok = int(depth) < max_depth
+            contents, raw_hrefs = strip_and_candidate_hrefs(
+                h, want_links=bool(landing or dok)
+            ) if h else ("", [])
+            hrefs = raw_hrefs if contents != "" else []
+            if not landing and contents:
+                sim = (
+                    tfidf_cosine_counts(gt, tokenize_counts(contents))
+                    if is_english(words, contents)
+                    else 0.0
+                )
+            else:
+                sim = 0.0
+            out_contents.append(contents)
+            out_hrefs.append(hrefs)
+            out_sim.append(sim)
+        pdf = pdf.copy()
+        pdf["contents"] = out_contents
+        pdf["hrefs"] = out_hrefs
+        pdf["sim_raw"] = out_sim
+        return pdf
+
+    return process
+
+
 def broadcast_ground_truth(spark, ground_truth_text: str):
     """Broadcast the tokenized ground-truth counts once (fixes the
     reference's per-task pickling, verify.py:249-254)."""

@@ -55,10 +55,11 @@ Scale notes (10^10-URL frontier):
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -72,6 +73,7 @@ from ..functions.text import (
 from ..functions.udfs import (
     broadcast_dictionary,
     broadcast_ground_truth,
+    make_process_batch_fn,
     make_process_page_udf,
 )
 from ..operators.bloom import ShardedBloom
@@ -163,6 +165,36 @@ class PythonFetcher:
         salted = _salt_by_host(requests, round_id, self.fetch_partitions)
         return salted.mapInPandas(run, schema=out_schema)
 
+    def fetch_process(self, requests: DataFrame, round_id: int,
+                      process_fn) -> DataFrame:
+        """Fully-fused fetch stage: fetch each batch's html AND run the
+        strip/extract/verify page kernel on it inside the SAME
+        mapInPandas call — one Python round trip for the hottest stage
+        (the unfused path chains a mapInPandas fetch with a separate
+        ArrowEvalPython runner over the same rows).  ``process_fn`` is
+        functions.udfs.make_process_batch_fn's batch kernel."""
+        fn = self.fetch_fn
+        out_schema = T.StructType(
+            requests.schema.fields
+            + [
+                T.StructField("html", T.StringType()),
+                T.StructField("contents", T.StringType()),
+                T.StructField("hrefs", T.ArrayType(T.StringType())),
+                T.StructField("sim_raw", T.DoubleType()),
+            ]
+        )
+
+        def run(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["html"] = [
+                    (fn(u) or "") if u is not None else "" for u in pdf["url"]
+                ]
+                yield process_fn(pdf)
+
+        salted = _salt_by_host(requests, round_id, self.fetch_partitions)
+        return salted.mapInPandas(run, schema=out_schema)
+
 
 def _salt_by_host(requests: DataFrame, round_id: int,
                   n_partitions: int | None) -> DataFrame:
@@ -204,8 +236,16 @@ def make_robots_udf(spark: SparkSession, robots: dict[str, str],
 
 
 def make_bloom_udf(spark: SparkSession, bloom: ShardedBloom):
-    bc = spark.sparkContext.broadcast(bloom)
+    """One-shot broadcast + membership UDF (tests / standalone use).
+    The crawler's round loop uses ``make_bloom_udf_from_bc`` with a
+    managed broadcast handle so each round's re-broadcast destroys the
+    previous round's copy — a crawl of ``max_rounds=10_000`` with a
+    growing filter must not accumulate stale broadcasts on the driver
+    and executors."""
+    return make_bloom_udf_from_bc(spark.sparkContext.broadcast(bloom))
 
+
+def make_bloom_udf_from_bc(bc):
     @F.pandas_udf(T.BooleanType())
     def might_contain(href: pd.Series) -> pd.Series:
         return pd.Series(bc.value.might_contain(href.fillna("")))
@@ -216,20 +256,25 @@ def make_bloom_udf(spark: SparkSession, bloom: ShardedBloom):
 def build_filter_distributed(df: DataFrame, col: str, factory):
     """Build an approximate-membership filter over ``df[col]`` with
     per-partition construction + driver-side merge (no raw-value
-    collect): the per-round delta path of the broadcast lifecycle.
-    ``factory()`` -> a filter with add/might_contain/merge
-    (operators.bloom.ShardedBloom or operators.cuckoo.CuckooFilter)."""
-    def per_partition(rows):
-        b = factory()
-        vals = [r[0] for r in rows if r[0] is not None]
-        if vals:
-            b.add(pd.Series(vals, dtype="object"))
-        yield b
+    collect, no ``.rdd`` round trip — Arrow-batched ``mapInPandas``
+    yields one pickled filter per partition): the per-round delta path
+    of the broadcast lifecycle.  ``factory()`` -> a filter with
+    add/might_contain/merge (operators.bloom.ShardedBloom or
+    operators.cuckoo.CuckooFilter)."""
+    import pickle
 
-    parts = df.select(col).rdd.mapPartitions(per_partition).collect()
+    def per_partition(batches):
+        b = factory()
+        for pdf in batches:
+            vals = pdf[col][pdf[col].notna()]
+            if len(vals):
+                b.add(vals.astype("object"))
+        yield pd.DataFrame({"blob": [pickle.dumps(b)]})
+
+    parts = df.select(col).mapInPandas(per_partition, "blob binary").collect()
     out = factory()
-    for b in parts:
-        out.merge(b)
+    for r in parts:
+        out.merge(pickle.loads(r.blob))
     return out
 
 
@@ -259,6 +304,12 @@ class FrontierConfig:
     max_rounds: int = 10_000
     keep_state_snapshots: int = 2   # expire older state snapshots
     compact_every: int = 64         # merge delta snapshots every N rounds
+    # coalesce per-round delta snapshot writes to N files.  At sandbox
+    # round sizes each delta is tiny and a 32-task write job per table
+    # monopolizes the local scheduler (the concurrent write wave
+    # serializes on task slots); at production round sizes leave None
+    # and let AQE size the files.
+    delta_write_partitions: int | None = None
 
 
 @dataclass
@@ -290,11 +341,30 @@ class FrontierCrawler:
         self.priority_expr = priority_expr or (lambda url: F.lit(0))
         self.fetcher = fetcher or FixtureFetcher(pages, self.cfg.fetch_partitions)
         self.robots_udf = make_robots_udf(spark, robots, self.cfg.user_agent)
-        self.process_page_udf = make_process_page_udf(
-            broadcast_ground_truth(spark, ground_truth),
-            broadcast_dictionary(spark, dictionary),
+        bc_gt = broadcast_ground_truth(spark, ground_truth)
+        bc_dict = broadcast_dictionary(spark, dictionary)
+        self.process_page_udf = make_process_page_udf(bc_gt, bc_dict)
+        self.process_batch_fn = make_process_batch_fn(
+            bc_gt, bc_dict, self.cfg.max_depth
         )
         self.bloom = self._filter_factory()()
+        self._bloom_bc = None       # managed broadcast handle (one live copy)
+        self._bloom_dirty = True    # re-broadcast only when the filter changed
+        self._next_active = None    # due-count observed on the state write
+        self.round_seconds: list[float] = []  # per-round wall clock (scale evidence)
+        self.round_trace: list[dict] = []     # per-round phase timings
+
+    def _broadcast_filter(self):
+        """Broadcast the current filter, destroying the previous round's
+        broadcast: with a growing ~GB filter over 10^4 rounds, leaking
+        one stale broadcast per round is a driver/executor OOM."""
+        if self._bloom_dirty or self._bloom_bc is None:
+            old = self._bloom_bc
+            self._bloom_bc = self.spark.sparkContext.broadcast(self.bloom)
+            self._bloom_dirty = False
+            if old is not None:
+                old.destroy()
+        return self._bloom_bc
 
     def _filter_factory(self):
         cfg = self.cfg
@@ -344,6 +414,7 @@ class FrontierCrawler:
                 self.bloom = build_filter_distributed(
                     seen.select("href").distinct(), "href", self._filter_factory()
                 )
+                self._bloom_dirty = True
 
         rnd = last
         for rnd in range(last + 1, self.cfg.max_rounds):
@@ -353,6 +424,9 @@ class FrontierCrawler:
         return FrontierRun(self.wh, rnd + 1, self.cfg)
 
     def _round(self, rnd: int) -> bool:
+        import time as _time
+
+        _t0 = _time.monotonic()
         spark, cfg, wh = self.spark, self.cfg, self.wh
         prev = rnd - 1
         state = self._load("domain_state", prev)
@@ -361,7 +435,12 @@ class FrontierCrawler:
         policy_seen = self._load_union("policy_seen", _POLICY_SCHEMA, prev)
 
         due = state.filter(F.col("phase") != "done")
-        n_active = due.count()  # loop condition + metrics row, one job
+        # loop condition + metrics row.  After the first round the count
+        # is observed for free on the previous round's state write; only
+        # a fresh start / resume pays a counting job.
+        n_active = (
+            self._next_active if self._next_active is not None else due.count()
+        )
         if n_active == 0:
             return False
 
@@ -380,7 +459,7 @@ class FrontierCrawler:
             .drop("_link_url")
             .withColumn("host", host_of_col(F.col("url")))
             .withColumn("robots_ok", self.robots_udf(F.col("url")))
-        )
+        ).persist()  # granted AND blocked branches + state update read this
 
         # 2. politeness window over robots-allowed requests, granted by
         #    (priority, seed_rank) per host — the partitioned priority
@@ -398,37 +477,47 @@ class FrontierCrawler:
             granted = eligible
         blocked = requests.filter(~F.col("robots_ok"))
 
-        # 3. fetch + fused strip/extract/verify (ONE Arrow round trip) -----
-        fetched = self.fetcher.fetch(granted, rnd)
+        # 3. fetch + fused strip/extract/verify.  Python-based fetchers
+        # run fetch AND the page kernel in ONE mapInPandas round trip
+        # (fetch_process); join-based fetchers (FixtureFetcher) chain
+        # the fused process UDF after the fetch join — still a single
+        # Arrow dispatch for the kernel.
         is_landing = F.col("phase") == "landing"
         depth_ok = F.col("depth_count") < cfg.max_depth
-        processed = (
-            fetched.withColumn(
-                "_pp", self.process_page_udf(F.col("html"), is_landing, depth_ok)
+        if hasattr(self.fetcher, "fetch_process"):
+            staged = self.fetcher.fetch_process(
+                granted, rnd, self.process_batch_fn
             )
-            .withColumn("contents", F.col("_pp.contents"))
-            .withColumn("hrefs", F.col("_pp.hrefs"))
-            .withColumn("sim_raw", F.col("_pp.sim_raw"))
-            .drop("_pp")
-            .withColumn(
-                "expanding",
-                (F.col("contents") != "") & (is_landing | depth_ok),
+        else:
+            fetched = self.fetcher.fetch(granted, rnd)
+            staged = (
+                fetched.withColumn(
+                    "_pp",
+                    self.process_page_udf(F.col("html"), is_landing, depth_ok),
+                )
+                .withColumn("contents", F.col("_pp.contents"))
+                .withColumn("hrefs", F.col("_pp.hrefs"))
+                .withColumn("sim_raw", F.col("_pp.sim_raw"))
+                .drop("_pp")
             )
-            .persist()
-        )
+        processed = staged.withColumn(
+            "expanding",
+            (F.col("contents") != "") & (is_landing | depth_ok),
+        ).persist()
         # materialize (fetch/UDF run exactly once) + round stats in one job
         _stats = processed.agg(
             F.count("*").alias("n"),
             F.coalesce(F.sum(F.size("hrefs")), F.lit(0)).alias("n_cand"),
         ).collect()[0]
         n_granted, n_cand = int(_stats["n"]), int(_stats["n_cand"])
+        _t_fetch = _time.monotonic()
 
         # 4. candidate admission: Bloom pre-filter + exact anti path -------
         cand = processed.filter("expanding").select(
             "seed_rank", "full_url", F.posexplode("hrefs").alias("page_pos", "href")
         )
         if cfg.use_bloom:
-            bloom_udf = make_bloom_udf(spark, self.bloom)
+            bloom_udf = make_bloom_udf_from_bc(self._broadcast_filter())
             cand = cand.withColumn("_might", bloom_udf(F.col("href")))
         else:
             cand = cand.withColumn("_might", F.lit(True))
@@ -472,25 +561,24 @@ class FrontierCrawler:
         # 5. append-only deltas: links + seen probe counts.  Rounds with
         # no candidates (politeness-deferred tails) skip these writes and
         # the Bloom delta entirely — no snapshot is cheaper than an
-        # empty one, and readers just see fewer delta files.
+        # empty one, and readers just see fewer delta files.  Writes are
+        # *deferred* into one concurrent wave (step 8) so the 7 per-round
+        # snapshot jobs overlap instead of serializing their scheduling +
+        # commit latency — the dominant per-round fixed cost at small
+        # rounds (data volume dominates at production rounds).
+        pending: list[tuple[str, DataFrame]] = []
         n_new_links = 0
         if n_cand > 0:
             n_new_links = links_delta.count()
             if n_new_links > 0:
-                wh.write(links_delta, "links", rnd)
+                pending.append(("links", links_delta))
             # probe-count delta: reader aggregates sum(probes)/min(first_round)
             seen_delta = (
                 cand2.groupBy("href")
                 .agg(F.count("*").cast("long").alias("probes"))
                 .withColumn("first_round", F.lit(rnd).cast("int"))
             )
-            wh.write(seen_delta, "seen", rnd)
-            if cfg.use_bloom:
-                delta = build_filter_distributed(
-                    cand2.filter(~F.col("hist_seen") & (F.col("probe_rank") == 1)),
-                    "href", self._filter_factory(),
-                )
-                self.bloom.merge(delta)
+            pending.append(("seen", seen_delta))
 
         # 6. link-visit outcomes: verify + content first-writer dedupe -----
         visits = processed.filter(~is_landing).withColumn(
@@ -524,7 +612,7 @@ class FrontierCrawler:
         ).select(
             "text_hash", "seed_rank", F.col("next_idx").alias("pos"), F.lit(rnd).alias("round")
         )
-        wh.write(policy_delta, "policy_seen", rnd)
+        pending.append(("policy_seen", policy_delta))
 
         # log rows: granted link visits + robots-blocked link requests
         is_policy = F.col("sim_raw") >= cfg.threshold
@@ -562,7 +650,7 @@ class FrontierCrawler:
             F.lit(False).alias("duplicate"),
             F.lit(None).cast("string").alias("doc_id"),
         )
-        wh.write(visit_log.unionByName(blocked_log), "crawl_log", rnd)
+        pending.append(("crawl_log", visit_log.unionByName(blocked_log)))
 
         docs_delta = visits.filter(
             (F.col("contents") != "") & is_policy & ~F.col("dup")
@@ -578,7 +666,13 @@ class FrontierCrawler:
             "seed_rank",
             F.lit(rnd).alias("round"),
         )
-        wh.write(docs_delta, "documents", rnd)
+        # n_policies rides the documents write as an observed metric —
+        # no separate aggregation job over the cached visits frame
+        docs_obs = Observation()
+        pending.append(
+            ("documents",
+             docs_delta.observe(docs_obs, F.count(F.lit(1)).alias("n")))
+        )
 
         # 7. state update ---------------------------------------------------
         appended_counts = links_delta.groupBy("seed_rank").agg(
@@ -648,27 +742,15 @@ class FrontierCrawler:
                 F.col("_landing_ok") & (new_n_links > 0),
             ).otherwise(F.col("had_links")).alias("had_links"),
         )
-        wh.write(state_new, "domain_state", rnd)
-
-        # 8. metrics (n_granted/n_cand from the materialization agg,
-        #    n_new_links from the delta write, n_policies from the
-        #    cached visits frame — no parquet read-backs)
-        n_fetched = n_granted  # every granted request issues one fetch
-        n_policies = int(
-            visits.agg(
-                F.coalesce(
-                    F.sum(
-                        ((F.col("contents") != "") & is_policy & ~F.col("dup")).cast("int")
-                    ),
-                    F.lit(0),
-                )
-            ).collect()[0][0]
+        # next round's due-count rides the state write as an observation
+        state_obs = Observation()
+        pending.append(
+            ("domain_state",
+             state_new.observe(
+                 state_obs,
+                 F.sum((F.col("phase") != "done").cast("long")).alias("n_active"),
+             ))
         )
-        metrics = spark.createDataFrame(
-            [(rnd, n_granted, n_fetched, n_new_links, n_policies, n_active)],
-            _METRICS_SCHEMA,
-        )
-        wh.write(metrics, "metrics", rnd)
 
         # per-partition lineage: how the salted fetch stage actually
         # spread work this round (skew observability at scale)
@@ -682,8 +764,55 @@ class FrontierCrawler:
                 F.col("n_rows").cast("long"),
             )
         )
-        wh.write(lineage, "lineage", rnd)
+        pending.append(("lineage", lineage))
 
+        # 8. one concurrent write wave: every delta snapshot job runs in
+        # parallel (independent tables, shared cached parents — block
+        # locks make concurrent first-materialization safe), together
+        # with the Bloom delta build.  Scheduling + parquet commit
+        # latency overlaps instead of summing across 7 writes.
+        _t_plan = _time.monotonic()
+        k = cfg.delta_write_partitions
+
+        def _write(df_, table):
+            wh.write(df_.coalesce(k) if k else df_, table, rnd)
+
+        # fill the visits cache at full parallelism BEFORE its dependent
+        # writes run (a coalesced write reading a cold cache would fill
+        # it at the coalesced parallelism); links/seen writes only need
+        # the already-filled cand2/links caches, so they overlap with it
+        visits_tables = {"policy_seen", "crawl_log", "documents", "domain_state"}
+        early = [(t, d) for t, d in pending if t not in visits_tables]
+        late = [(t, d) for t, d in pending if t in visits_tables]
+        with ThreadPoolExecutor(max_workers=min(10, len(pending) + 2)) as pool:
+            futs = [pool.submit(_write, df_, table) for table, df_ in early]
+            delta_fut = None
+            if cfg.use_bloom and n_cand > 0:
+                delta_fut = pool.submit(
+                    build_filter_distributed,
+                    cand2.filter(~F.col("hist_seen") & (F.col("probe_rank") == 1)),
+                    "href",
+                    self._filter_factory(),
+                )
+            fill = pool.submit(visits.count)
+            fill.result()
+            futs += [pool.submit(_write, df_, table) for table, df_ in late]
+            for f in futs:
+                f.result()
+            if delta_fut is not None:
+                self.bloom.merge(delta_fut.result())
+                self._bloom_dirty = True  # next round re-broadcasts once
+
+        n_fetched = n_granted  # every granted request issues one fetch
+        n_policies = int(docs_obs.get["n"])
+        self._next_active = int(state_obs.get["n_active"] or 0)
+        metrics = spark.createDataFrame(
+            [(rnd, n_granted, n_fetched, n_new_links, n_policies, n_active)],
+            _METRICS_SCHEMA,
+        )
+        wh.write(metrics, "metrics", rnd)
+
+        _t_wave = _time.monotonic()
         wh.commit(rnd, list(STATE_TABLES + DELTA_TABLES))
         for t in STATE_TABLES:
             wh.expire_snapshots(t, keep=cfg.keep_state_snapshots)
@@ -694,6 +823,16 @@ class FrontierCrawler:
         cand2.unpersist()
         links_delta.unpersist()
         visits.unpersist()
+        requests.unpersist()
+        _t_end = _time.monotonic()
+        self.round_seconds.append(_t_end - _t0)
+        self.round_trace.append({
+            "round": rnd, "granted": n_granted,
+            "fetch_agg": round(_t_fetch - _t0, 3),
+            "admission": round(_t_plan - _t_fetch, 3),
+            "write_wave": round(_t_wave - _t_plan, 3),
+            "commit_tail": round(_t_end - _t_wave, 3),
+        })
         return True
 
     # -- result readers ---------------------------------------------------
@@ -750,17 +889,29 @@ class FrontierCrawler:
         """The reference's summary.txt audit trail (produce_summary,
         src/crawler.py:243-283): header counts + percentages, then one
         section per accessible domain with a status line per visited
-        link.  Aggregates computed in Spark; only the small final
-        results are collected for driver-side formatting."""
-        outcomes = {r.seed_rank: r for r in self.outcomes().collect()}
-        log_rows = self.crawl_log().collect()
-        n_domains = len(outcomes) or 1
-        counts = {"successful": 0, "failed_access": 0, "no_links": 0,
-                  "failed_links": 0}
-        for r in outcomes.values():
-            counts[r.outcome] += 1
-        n_ok_links = sum(1 for r in log_rows if r.valid)
-        n_bad_links = len(log_rows) - n_ok_links
+        link.
+
+        Scale-safe: header counts come from in-plan aggregations (a
+        handful of rows collected), and the body merge-iterates TWO
+        sorted streams — outcomes by seed_rank and the crawl log by
+        (seed_rank, discovery_rank) — via ``toLocalIterator``, so driver
+        memory holds one domain's section at a time, never the full
+        crawl log (a collect() would OOM at 10^10 URLs)."""
+        outcome_counts = {
+            r.outcome: r.n
+            for r in self.outcomes()
+            .groupBy("outcome").agg(F.count("*").alias("n")).collect()
+        }
+        log = self._union_deltas("crawl_log", _LOG_SCHEMA)
+        link_row = log.agg(
+            F.coalesce(F.sum(F.col("valid").cast("long")), F.lit(0)).alias("ok"),
+            F.count("*").alias("total"),
+        ).collect()[0]
+        n_ok_links, n_bad_links = int(link_row.ok), int(link_row.total - link_row.ok)
+        counts = {k: outcome_counts.get(k, 0)
+                  for k in ("successful", "failed_access", "no_links",
+                            "failed_links")}
+        n_domains = sum(counts.values()) or 1
 
         def pct(n):
             return round(n / n_domains * 100, 2)
@@ -778,11 +929,12 @@ class FrontierCrawler:
         out.append(f"   # of failed links = {n_bad_links}.")
         out.append("")
 
-        by_domain: dict[int, list] = {}
-        for r in log_rows:
-            by_domain.setdefault(r.seed_rank, []).append(r)
-        for rank in sorted(outcomes):
-            o = outcomes[rank]
+        log_it = self.crawl_log().toLocalIterator()
+        pending_link = next(log_it, None)
+        for o in self.outcomes().orderBy("seed_rank").toLocalIterator():
+            # advance the log stream to this domain's rows (sorted merge)
+            while pending_link is not None and pending_link.seed_rank < o.seed_rank:
+                pending_link = next(log_it, None)
             if o.outcome == "failed_access":
                 continue  # reference skips inaccessible domains (:265)
             if o.outcome == "no_links":
@@ -790,7 +942,8 @@ class FrontierCrawler:
                 out.append("")
                 continue
             out.append(f"{o.domain} (avg sim = {round(o.sim_avg, 2)})")
-            for link in by_domain.get(rank, []):
+            while pending_link is not None and pending_link.seed_rank == o.seed_rank:
+                link = pending_link
                 doc = link.doc_id or "None"
                 if not link.fetched:
                     status = "NO_ACCESS"
@@ -799,6 +952,7 @@ class FrontierCrawler:
                 else:
                     status = str(round(link.sim, 2))
                 out.append(f"=> ({status}) {link.url} -> {doc} & {doc}.txt")
+                pending_link = next(log_it, None)
             out.append("")
         return "\n".join(out) + "\n"
 

@@ -1460,22 +1460,28 @@ def q_frontier_crawl(spark, sf_dir):
     is asserted in tests/test_frontier.py."""
     import tempfile
 
-    from .plans.frontier import FrontierConfig, FrontierCrawler
+    from .plans.frontier import FrontierConfig, FrontierCrawler, PythonFetcher
     from .sources.synth import gen_web, make_dictionary, make_ground_truth
 
     n_docs = _t(spark, sf_dir, "documents").count()
     n_domains = max(20, min(n_docs // 5, 2000))
     pages, seeds, robots = gen_web(n_domains=n_domains, seed=42)
+    # broadcast-fetch shape: the synthetic web ships to executors ONCE
+    # as a broadcast dict behind PythonFetcher (mapInPandas), not as a
+    # local relation re-serialized into every round's join tasks — the
+    # 6x frontier-throughput lesson from tools/bench_scaling.py
+    bc_pages = spark.sparkContext.broadcast(pages)
     fc = FrontierCrawler(
         spark,
         tempfile.mkdtemp(prefix="pcpt-frontier-"),
-        pages=spark.createDataFrame(list(pages.items()), "url string, html string"),
+        fetcher=PythonFetcher(lambda u: bc_pages.value.get(u, "")),
         seeds=seeds,
         ground_truth=make_ground_truth(),
         dictionary=make_dictionary(),
         robots=robots,
         config=FrontierConfig(threshold=0.3, max_depth=2, host_budget=8,
-                              bloom_capacity=1 << 16),
+                              bloom_capacity=1 << 16,
+                              delta_write_partitions=4),
     )
     fc.run()
     return fc.crawl_log().select(

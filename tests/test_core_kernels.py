@@ -113,6 +113,24 @@ class TestSentencize:
     def test_newlines_split(self):
         assert sent_tokenize("line one\nline two") == ["line one", "line two"]
 
+    def test_closing_quotes_and_brackets(self):
+        # punkt-informed: boundary punctuation may be followed by closers
+        assert sent_tokenize('He said "Stop." Then he left.') == [
+            'He said "Stop."', "Then he left."]
+        assert sent_tokenize("See rule 4.) Next rule applies.") == [
+            "See rule 4.)", "Next rule applies."]
+
+    def test_ortho_lowercase_suppression(self):
+        # a period never splits before a lowercase continuation
+        assert sent_tokenize("applies to www.example.com only. see below. Yes.") == [
+            "applies to www.example.com only. see below.", "Yes."]
+
+    def test_dotted_abbreviations(self):
+        assert sent_tokenize("We comply (e.g. GDPR). This applies.") == [
+            "We comply (e.g. GDPR).", "This applies."]
+        assert sent_tokenize("Open until 5 p.m. Mon through Fri.") == [
+            "Open until 5 p.m. Mon through Fri."]
+
     def test_empty(self):
         assert sent_tokenize("") == []
         assert sent_tokenize("   ") == []
