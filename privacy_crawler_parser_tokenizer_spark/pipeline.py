@@ -58,7 +58,8 @@ def extract_documents(docs: DataFrame, auto_text: bool = True) -> DataFrame:
     )
 
 
-def spans_table(extracted: DataFrame) -> DataFrame:
+def spans_table(extracted: DataFrame,
+                huge_span_threshold: int | None = None) -> DataFrame:
     """Explode spans with per-kind tag_index + neighbor context.
 
     tag label = kind || tag_index (reference 'p3' style,
@@ -68,10 +69,20 @@ def spans_table(extracted: DataFrame) -> DataFrame:
 
     Context is computed array-locally (functions.text.spans_tagged_col)
     BEFORE the explode — zero shuffles, vs 2-3 doc_id exchanges for the
-    equivalent lag/lead window formulation.  spans_table_windowed keeps
-    the window twin as an executable cross-check."""
-    return (
-        extracted.withColumn("_tagged", spans_tagged_col("spans"))
+    equivalent lag/lead window formulation.  The array-local tag_index
+    is O(n^2) per document (size(filter(slice))) — harmless at real
+    page sizes, pathological for a document with 10^5+ spans — so docs
+    above ``huge_span_threshold`` spans route to the O(n log n)
+    windowed twin and the two results union.  The guard is OPT-IN
+    (``huge_span_threshold=None`` default): the union branch puts the
+    window exchanges into every plan, and the zero-shuffle plan is the
+    regression-tested common path."""
+    base = extracted
+    if huge_span_threshold is not None:
+        base = extracted.filter(F.size("spans") <= F.lit(huge_span_threshold))
+    small = (
+        base
+        .withColumn("_tagged", spans_tagged_col("spans"))
         .withColumn("_ctx", spans_context_col())
         .select("doc_id", F.explode("_ctx").alias("s"))
         .select(
@@ -86,6 +97,12 @@ def spans_table(extracted: DataFrame) -> DataFrame:
             F.col("s.proc_by").alias("proc_by"),
         )
     )
+    if huge_span_threshold is None:
+        return small
+    huge = spans_table_windowed(
+        extracted.filter(F.size("spans") > F.lit(huge_span_threshold))
+    ).select(*small.columns)
+    return small.unionByName(huge)
 
 
 def spans_table_windowed(extracted: DataFrame) -> DataFrame:

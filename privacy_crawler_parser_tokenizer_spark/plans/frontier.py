@@ -350,6 +350,8 @@ class FrontierCrawler:
         self.bloom = self._filter_factory()()
         self._bloom_bc = None       # managed broadcast handle (one live copy)
         self._bloom_dirty = True    # re-broadcast only when the filter changed
+        self.bloom_broadcasts_created = 0   # lifecycle observability:
+        self.bloom_broadcasts_destroyed = 0  # created - destroyed must stay 1
         self._next_active = None    # due-count observed on the state write
         self.round_seconds: list[float] = []  # per-round wall clock (scale evidence)
         self.round_trace: list[dict] = []     # per-round phase timings
@@ -361,9 +363,11 @@ class FrontierCrawler:
         if self._bloom_dirty or self._bloom_bc is None:
             old = self._bloom_bc
             self._bloom_bc = self.spark.sparkContext.broadcast(self.bloom)
+            self.bloom_broadcasts_created += 1
             self._bloom_dirty = False
             if old is not None:
                 old.destroy()
+                self.bloom_broadcasts_destroyed += 1
         return self._bloom_bc
 
     def _filter_factory(self):

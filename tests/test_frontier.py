@@ -352,3 +352,21 @@ def test_frontier_kitchen_sink(spark, tmp_path):
     )
     fc.run()
     assert_matches_oracle(fc, res)
+
+
+def test_bloom_broadcast_lifecycle(spark, tmp_path):
+    """A multi-round crawl must keep exactly ONE live filter broadcast:
+    every re-broadcast destroys the previous round's copy (a 10^4-round
+    crawl with a growing ~GB filter would otherwise OOM the driver),
+    and results stay oracle-exact."""
+    pages, seeds, robots = gen_web(n_domains=8, seed=33)
+    res = run_oracle(pages, seeds, robots=robots, host_budget=1)
+    fc = run_frontier(
+        spark, tmp_path / "whb", pages, seeds, robots=robots, host_budget=1
+    )
+    assert_matches_oracle(fc, res)
+    # host_budget=1 on a shared-host web forces many rounds
+    assert fc.bloom_broadcasts_created >= 3
+    assert (
+        fc.bloom_broadcasts_created - fc.bloom_broadcasts_destroyed == 1
+    ), (fc.bloom_broadcasts_created, fc.bloom_broadcasts_destroyed)

@@ -98,6 +98,15 @@ def test_spans_windowed_twin_is_identical(spark):
     assert fast == slow and len(fast) >= 5
     assert n_exchanges(formatted_plan(spans_table(ex))) == 0
 
+    # opt-in huge-doc guard: with a threshold that routes d1 (5 spans)
+    # to the windowed path and keeps d2 array-local, the union is
+    # row-identical to both pure formulations
+    guarded = {
+        tuple(r)
+        for r in spans_table(ex, huge_span_threshold=2).select(cols).collect()
+    }
+    assert guarded == fast
+
 
 def test_verify_scores_matches_kernel(spark):
     """The relational closed-form TF-IDF cosine == the Python kernel
