@@ -44,6 +44,8 @@ HEADLINE = [
     "embedding_topk",
     "ivf_topk",
     "embedding_neardup",
+    "neardup_not_exact",
+    "docs_without_pairs",
     "frontier_crawl",
 ]
 
