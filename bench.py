@@ -25,6 +25,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = [
     "rule_hits",
     "quality_scores",
+    "gopher_quality",
+    "dup_ngram_fraction",
     "lang_id",
     "fingerprints",
     "token_counts",

@@ -566,6 +566,280 @@ def q_simhash(spark, sf_dir):
     return g.select("doc_id", F.expr(_SIM_VAL).cast("long").alias("simhash"))
 
 
+_SIMHASH_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    h AS (SELECT doc_id, {_H16} AS h FROM w),
+    s AS (SELECT doc_id, {_SIM_SUMS} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIM_VAL} AS BIGINT) AS simhash FROM s
+"""
+
+
+# 32-bit SimHash for the PAIR generator: a 16-bit hash has only 64
+# nibble-buckets — mega-buckets and a quadratic pair explosion at 60k+
+# docs.  32 bits banded as 2 x 16-bit halves gives 65,536 buckets per
+# band; pigeonhole covers hamming <= 1 exactly.
+_H32 = " + ".join(
+    f"{_NIB.format(k=k)} * CAST({16 ** (8 - k)} AS BIGINT)" for k in range(1, 9)
+)
+_SIM32_SUMS = ", ".join(
+    f"sum(CASE WHEN h % {1 << (j + 1)} >= {1 << j} THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(32)
+)
+_SIM32_VAL = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for j in range(32)
+)
+_SIMHASH32_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    h AS (SELECT doc_id, {_H32} AS h FROM w),
+    s AS (SELECT doc_id, {_SIM32_SUMS} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIM32_VAL} AS BIGINT) AS simhash FROM s
+"""
+
+
+@query(
+    "simhash_candidates",
+    f"""
+    WITH sim AS ({_SIMHASH32_SQL}),
+    bands AS (
+      SELECT doc_id, t.b AS band, (simhash >> (16 * t.b)) & 65535 AS nib
+      FROM sim, (VALUES (0), (1)) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.nib = y.nib AND x.doc_id < y.doc_id
+    )
+    SELECT cand.a, cand.b
+    FROM cand
+    JOIN sim sa ON cand.a = sa.doc_id
+    JOIN sim sb ON cand.b = sb.doc_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 1
+    """,
+)
+def q_simhash_candidates(spark, sf_dir):
+    """SimHash near-dup PAIRS: 32-bit fingerprint banded as 2 x 16-bit
+    halves, bucket-join on any equal band (pigeonhole: <=1 differing
+    bit must leave one band intact, so banding never misses), then
+    exact-filter hamming(simhash) <= 1 with a codegen bit_count.
+
+    Bucket-local pair expansion (collect_list + double explode), the
+    same no-self-join shape as lsh_candidate_pairs.  65,536 buckets per
+    band keep candidate sets selective at corpus scale (the 16-bit
+    q_simhash fingerprint has only 64 nibble-buckets — quadratic at
+    60k+ docs); at 100 TB the identical plan widens to 64-bit with
+    16-bit bands."""
+    docs = _t(spark, sf_dir, "documents")
+    e = (
+        docs.filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+        )
+        .withColumn("h", F.expr(_H32))
+    )
+    g = e.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN h % {1 << (j + 1)} >= {1 << j} THEN 1 ELSE -1 END")
+            ).alias(f"s{j}")
+            for j in range(32)
+        ]
+    )
+    sim = g.select("doc_id", F.expr(_SIM32_VAL).cast("long").alias("simhash"))
+    nibs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"shiftright(simhash, {16 * b}) & 65535").alias("nib"),
+            )
+            for b in range(2)
+        ]
+    )
+    # the fingerprint rides through the bucket expansion so the 32-sum
+    # aggregate computes ONCE (joining hashes back would re-derive the
+    # whole fingerprint subtree on both join sides)
+    bands = sim.select("doc_id", "simhash", F.explode(nibs).alias("x")).select(
+        "doc_id", "simhash", F.col("x.band").alias("band"), F.col("x.nib").alias("nib")
+    )
+    bucket = (
+        bands.groupBy("band", "nib")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        bucket.select("ids", F.explode("ids").alias("x"))
+        .select("x", F.explode("ids").alias("y"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .filter(
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ) <= 1
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+# half-up fraction quantized to 6 dp in EXACT integer arithmetic — the
+# events_running_avg tie-proof pattern (double division + round() can
+# disagree between engines on exact .5e-6 boundaries)
+def _microfrac_sql(num: str, den: str) -> str:
+    return (
+        f"CASE WHEN {den} > 0 THEN "
+        f"CAST((2000000 * CAST({num} AS BIGINT) + CAST({den} AS BIGINT)) "
+        f"// (2 * CAST({den} AS BIGINT)) AS DOUBLE) / 1000000.0 "
+        f"ELSE 0.0 END"
+    )
+
+
+def _microfrac_spark(num: str, den: str):
+    return F.expr(
+        f"CASE WHEN {den} > 0 THEN "
+        f"CAST((2000000 * CAST({num} AS BIGINT) + CAST({den} AS BIGINT)) "
+        f"DIV (2 * CAST({den} AS BIGINT)) AS DOUBLE) / 1000000.0 "
+        f"ELSE 0.0 END"
+    )
+
+
+@query(
+    "gopher_quality",
+    f"""
+    WITH w AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS words,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS lwords,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n,
+        CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT) AS sumlen,
+        CAST(len(lines) AS BIGINT) AS nl,
+        CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+             OR starts_with(ltrim(l), '*'))) AS BIGINT) AS nb,
+        CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS ne,
+        CAST(len(list_filter(lwords, x -> list_contains({{_SW}}, x))) AS BIGINT) AS ns
+      FROM w
+    )
+    SELECT doc_id, n AS n_words,
+      {{mean_wlen}} AS mean_wlen,
+      {{bullet_frac}} AS bullet_frac,
+      {{ellipsis_frac}} AS ellipsis_frac,
+      {{stop_frac}} AS stop_frac,
+      (n >= 50 AND n <= 100000
+       AND {{mean_wlen}} >= 3.0 AND {{mean_wlen}} <= 10.0
+       AND {{bullet_frac}} <= 0.9 AND {{ellipsis_frac}} <= 0.3
+       AND {{stop_frac}} >= 0.06) AS gopher_pass
+    FROM c
+    """.format(
+        _SW=_SW,
+        mean_wlen=_microfrac_sql("sumlen", "n"),
+        bullet_frac=_microfrac_sql("nb", "nl"),
+        ellipsis_frac=_microfrac_sql("ne", "nl"),
+        stop_frac=_microfrac_sql("ns", "n"),
+    ),
+)
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1,
+    adapted): word count band, mean word length band, bullet/ellipsis
+    line fractions, stopword fraction — each fully native, each
+    micro-quantized so the pass/fail booleans are bit-identical across
+    engines.  The [NEW] training-data gate alongside quality_scores."""
+    docs = _t(spark, sf_dir, "documents")
+    empty = F.array().cast("array<string>")
+    c = docs.select(
+        "doc_id",
+        F.when(F.trim("text") == "", empty)
+        .otherwise(F.split(F.trim("text"), r"\s+"))
+        .alias("words"),
+        F.when(F.trim("text") == "", empty)
+        .otherwise(F.split(F.lower(F.trim("text")), r"\s+"))
+        .alias("lwords"),
+        F.split("text", "\n").alias("lines"),
+    ).select(
+        "doc_id",
+        F.size("words").cast("long").alias("n"),
+        F.aggregate(
+            "words", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("sumlen"),
+        F.size("lines").cast("long").alias("nl"),
+        F.size(
+            F.filter(
+                "lines",
+                lambda l: F.ltrim(l).startswith("-") | F.ltrim(l).startswith("*"),
+            )
+        ).cast("long").alias("nb"),
+        F.size(
+            F.filter("lines", lambda l: F.rtrim(l).endswith("..."))
+        ).cast("long").alias("ne"),
+        F.size(
+            F.filter(
+                "lwords", lambda x: F.array_contains(_sw_array(), x)
+            )
+        ).cast("long").alias("ns"),
+    )
+    mean_wlen = _microfrac_spark("sumlen", "n")
+    bullet = _microfrac_spark("nb", "nl")
+    ellipsis = _microfrac_spark("ne", "nl")
+    stop = _microfrac_spark("ns", "n")
+    return c.select(
+        "doc_id",
+        F.col("n").alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        bullet.alias("bullet_frac"),
+        ellipsis.alias("ellipsis_frac"),
+        stop.alias("stop_frac"),
+        (
+            (F.col("n") >= 50) & (F.col("n") <= 100000)
+            & (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
+            & (bullet <= 0.9) & (ellipsis <= 0.3) & (stop >= 0.06)
+        ).alias("gopher_pass"),
+    )
+
+
+def _sw_array():
+    return F.array(*[F.lit(s) for s in EN_STOPWORDS])
+
+
+@query(
+    "dup_ngram_fraction",
+    f"""
+    WITH s AS ({{_SHINGLES}})
+    SELECT doc_id,
+           {{frac}} AS dup_frac
+    FROM (SELECT doc_id, CAST(len(sh) AS BIGINT) AS total,
+                 CAST(len(sh) - len(list_distinct(sh)) AS BIGINT) AS dups
+          FROM s)
+    """.format(
+        _SHINGLES=_SHINGLES_SQL,
+        frac=_microfrac_sql("dups", "total"),
+    ),
+)
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Repetition-removal signal (Rae et al. 2021 §A1.2): fraction of a
+    document's word 3-grams that are duplicates.  Zero-shuffle: the
+    shingle array never explodes — array_distinct runs inside the row."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles_col(F.col("text"))
+    c = docs.select(
+        "doc_id",
+        F.size(sh).cast("long").alias("total"),
+        (F.size(sh) - F.size(F.array_distinct(sh))).cast("long").alias("dups"),
+    )
+    return c.select(
+        "doc_id", _microfrac_spark("dups", "total").alias("dup_frac")
+    )
+
+
 @query(
     "sessionize",
     """

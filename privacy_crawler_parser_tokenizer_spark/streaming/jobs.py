@@ -180,6 +180,24 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def exact_dedup_stream(docs: DataFrame, watermark: str | None = "10 minutes",
+                       ts_col: str = "ts") -> DataFrame:
+    """Streaming exact-dedup twin of the batch ``exact_dedup`` query:
+    keep the first-arriving document per content hash.
+
+    With a watermark, state for old hashes is dropped via
+    ``dropDuplicatesWithinWatermark`` (two duplicates farther apart
+    than the watermark both survive — the bounded-state trade every
+    streaming dedup at 100 TB must make, stated rather than hidden);
+    ``watermark=None`` keeps exact global dedup with unbounded state."""
+    hashed = docs.withColumn("text_hash", F.sha2(F.col("html"), 256))
+    if watermark is None:
+        return hashed.dropDuplicates(["text_hash"])
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["text_hash"]
+    )
+
+
 def crawl_log_stream(spark: SparkSession, warehouse_dir: str) -> DataFrame:
     """Streaming source over the frontier's crawl_log delta snapshots:
     each committed round drops new parquet files under

@@ -140,3 +140,18 @@ def test_fetch_stage_salts_by_host_hash(spark):
     reqs = spark.createDataFrame([("http://a.com",)], "url string")
     plan = formatted_plan(FixtureFetcher(pages, fetch_partitions=4).fetch(reqs, 7))
     assert "pmod" in plan and "hash" in plan, plan
+
+
+def test_new_quality_ops_stay_shuffle_free(spark):
+    """gopher_quality and dup_ngram_fraction are per-row array ops —
+    their plans must stay single-scan with zero exchanges."""
+    assert n_exchanges(plan(spark, "gopher_quality")) == 0
+    assert n_exchanges(plan(spark, "dup_ngram_fraction")) == 0
+
+
+def test_simhash_candidates_is_bucketed_not_all_pairs(spark):
+    """The simhash pair generator must be the banded-bucket shape (agg
+    + explode), never a cross join."""
+    p = plan(spark, "simhash_candidates")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert has_partial_aggregation(p)

@@ -192,3 +192,54 @@ def test_save_reference_outputs_csv(spark, tmp_path):
     import glob as g
     dirs = g.glob(str(tmp_path / "csv" / "sentences_csv" / "doc_id=*"))
     assert len(dirs) == out["sentences"].select("doc_id").distinct().count()
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming first-arrival dedup keeps exactly one row per content
+    hash — same kept-hash SET as batch dropDuplicates (the kept doc_id
+    may differ by arrival order; the batch twin exact_dedup pins
+    first-writer by doc_id, the stream by arrival)."""
+    import pandas as pd
+
+    rows = [
+        ("a1", "<p>same policy</p>"),
+        ("a2", "<p>same policy</p>"),     # dup of a1
+        ("a3", "<p>other policy</p>"),
+        ("a4", "<p>same policy</p>"),     # dup again
+        ("a5", "<p>third</p>"),
+    ]
+    d = tmp_path / "dedup-docs"
+    spark.createDataFrame(
+        [
+            (doc_id, html,
+             (pd.Timestamp("2026-01-01") + pd.Timedelta(minutes=i)).to_pydatetime())
+            for i, (doc_id, html) in enumerate(rows)
+        ],
+        jobs.DOCS_STREAM_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(str(d))
+
+    stream = jobs.exact_dedup_stream(jobs.read_documents_stream(spark, str(d)))
+    assert stream.isStreaming
+    jobs.run_to_memory(stream, "dedup_stream")
+    got = [r for r in spark.table("dedup_stream").collect()]
+    got_hashes = sorted(r.text_hash for r in got)
+
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.parquet(str(d))
+        .withColumn("text_hash", F.sha2(F.col("html"), 256))
+        .dropDuplicates(["text_hash"])
+    )
+    want_hashes = sorted(r.text_hash for r in batch.collect())
+    assert got_hashes == want_hashes
+    assert len(got) == 3            # one row per distinct content
+
+    # unbounded-state variant behaves identically on this input
+    stream2 = jobs.exact_dedup_stream(
+        jobs.read_documents_stream(spark, str(d)), watermark=None
+    )
+    jobs.run_to_memory(stream2, "dedup_stream2")
+    assert sorted(
+        r.text_hash for r in spark.table("dedup_stream2").collect()
+    ) == want_hashes
