@@ -82,8 +82,13 @@ def main() -> None:
 
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM/Arrow path once so timings measure the engine
+    # warm the JVM/Arrow path once so timings measure the engine;
+    # also spin up the Python UDF workers (pandas import etc.) with a
+    # trivial mapInPandas so the first Arrow stage isn't billed for it
     next(iter(qs.values()))(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    spark.range(10_000).repartition(CPUS).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}

@@ -109,6 +109,24 @@ _METRICS_SCHEMA = (
 )
 _LINEAGE_SCHEMA = "round int, stage string, partition_id int, n_rows bigint"
 
+def _metrics_arrow():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("round", pa.int32()),
+            pa.field("granted", pa.int64()),
+            pa.field("fetched", pa.int64()),
+            pa.field("new_links", pa.int64()),
+            pa.field("policies", pa.int64()),
+            pa.field("active_domains", pa.int64()),
+        ]
+    )
+
+
+_METRICS_ARROW = _metrics_arrow()
+
+
 
 # ---------------------------------------------------------------------------
 # fetchers
@@ -810,11 +828,12 @@ class FrontierCrawler:
         n_fetched = n_granted  # every granted request issues one fetch
         n_policies = int(docs_obs.get["n"])
         self._next_active = int(state_obs.get["n_active"] or 0)
-        metrics = spark.createDataFrame(
+        # one driver-local pyarrow file — a Spark job per single-row
+        # metrics write is pure per-round fixed cost
+        wh.write_rows(
             [(rnd, n_granted, n_fetched, n_new_links, n_policies, n_active)],
-            _METRICS_SCHEMA,
+            _METRICS_ARROW, "metrics", rnd,
         )
-        wh.write(metrics, "metrics", rnd)
 
         _t_wave = _time.monotonic()
         wh.commit(rnd, list(STATE_TABLES + DELTA_TABLES))

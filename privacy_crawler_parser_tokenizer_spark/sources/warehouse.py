@@ -65,6 +65,34 @@ class Warehouse:
         os.makedirs(os.path.dirname(self._manifest_path(table)), exist_ok=True)
         _atomic_write_json(self._manifest_path(table), m)
 
+    def write_rows(self, rows: list[tuple], schema, table: str,
+                   snapshot: int) -> None:
+        """Driver-local snapshot write for TINY tables (a metrics row, a
+        marker): one pyarrow parquet file, no Spark job.  ``schema`` is
+        a ``pyarrow.Schema``; readers (``spark.read.parquet``) see the
+        same layout as a Spark-written snapshot."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        data_dir = os.path.join(self.root, table, f"snap={snapshot}")
+        if os.path.exists(data_dir):
+            shutil.rmtree(data_dir)
+        os.makedirs(data_dir)
+        cols = list(zip(*rows)) if rows else [[] for _ in schema]
+        pq.write_table(
+            pa.table({f.name: list(c) for f, c in zip(schema, cols)},
+                     schema=schema),
+            os.path.join(data_dir, "part-00000.parquet"),
+        )
+        with open(os.path.join(data_dir, "_SUCCESS"), "w"):
+            pass
+        m = self._manifest(table)
+        if snapshot not in m["snapshots"]:
+            m["snapshots"].append(snapshot)
+        m["current"] = snapshot
+        os.makedirs(os.path.dirname(self._manifest_path(table)), exist_ok=True)
+        _atomic_write_json(self._manifest_path(table), m)
+
     def read(self, spark: SparkSession, table: str,
              snapshot: int | None = None) -> DataFrame | None:
         """Current (or time-travel ``snapshot``) contents; None if the
