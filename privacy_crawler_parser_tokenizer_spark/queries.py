@@ -520,6 +520,25 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+@query("bpe_token_counts")
+def q_bpe_token_counts(spark, sf_dir):
+    """Real subword tokenization: train 16 BPE merges over the corpus
+    with the distributed trainer (iterative pair-count aggregation over
+    the word-frequency table — cost O(vocab) per merge, not O(corpus)),
+    then encode every document with the learned merges and count
+    tokens.  No SQL oracle (the trainer is iterative); exact parity of
+    the distributed trainer/encoder vs the sequential canon is pinned
+    in tests/test_bpe.py — the frontier_crawl evidence pattern."""
+    from .operators.bpe import make_bpe_encode_udf, train_bpe_distributed
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe_distributed(docs, 16)
+    enc = make_bpe_encode_udf(spark, merges)
+    return docs.select(
+        "doc_id", F.size(enc(F.col("text"))).cast("long").alias("n_bpe_tokens")
+    )
+
+
 # 16-bit SimHash: per-word hash from the first 4 md5 nibbles (engine-
 # portable: md5/instr/substr/% behave identically in Spark and DuckDB)
 _NIB = "(instr('0123456789abcdef', substr(md5(w), {k}, 1)) - 1)"
