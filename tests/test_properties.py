@@ -96,3 +96,89 @@ def test_bloom_no_false_negatives(values):
     s = pd.Series(values, dtype="object")
     b.add(s)
     assert b.might_contain(s).all()
+
+
+# --- BPE kernel properties --------------------------------------------------
+
+word_text = st.text(
+    alphabet=st.characters(codec="ascii", min_codepoint=33, max_codepoint=126),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(word_text, min_size=0, max_size=30))
+def test_bpe_encode_is_lossless(words):
+    """For any corpus and any merge budget, encoding a word and
+    concatenating its tokens reproduces the original symbols exactly."""
+    from privacy_crawler_parser_tokenizer_spark.core.bpe import (
+        encode_word, to_symbols, train_bpe, word_freqs,
+    )
+
+    corpus = [" ".join(words)]
+    merges = train_bpe(word_freqs(corpus), 12)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in set(w.lower() for w in words):
+        toks = encode_word(w, ranks)
+        assert "".join(toks) == "".join(to_symbols(w))
+        assert all(t for t in toks)          # never an empty token
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.dictionaries(word_text, st.integers(1, 50), max_size=20),
+       st.integers(0, 10))
+def test_bpe_trainer_deterministic(freqdict, n):
+    """Same frequency table -> same merge list, independent of dict
+    insertion order (the (count DESC, pair ASC) argmax contract)."""
+    from collections import Counter
+
+    from privacy_crawler_parser_tokenizer_spark.core.bpe import train_bpe
+
+    a = train_bpe(Counter(freqdict), n)
+    b = train_bpe(Counter(dict(reversed(list(freqdict.items())))), n)
+    assert a == b
+
+
+# --- sentence tokenizer properties ------------------------------------------
+
+sent_text = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+    max_size=200,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(sent_text)
+def test_sentencize_preserves_nonspace_text(t):
+    """Splitting never invents or loses non-whitespace characters."""
+    from privacy_crawler_parser_tokenizer_spark.core.sentencize import sent_tokenize
+
+    import re
+
+    squash = lambda x: re.sub(r"\s+", "", x)   # the tokenizer's own \s
+    assert squash("".join(sent_tokenize(t))) == squash(t)
+
+
+@settings(max_examples=300, deadline=None)
+@given(sent_text)
+def test_sentencize_output_trimmed_nonempty(t):
+    from privacy_crawler_parser_tokenizer_spark.core.sentencize import sent_tokenize
+
+    for s in sent_tokenize(t):
+        assert s == s.strip() and s
+
+
+# --- cuckoo filter property: contract survives churn ------------------------
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(word_text, min_size=1, max_size=300, unique=True),
+       st.integers(16, 256))
+def test_cuckoo_contract_under_churn(values, capacity):
+    """Whatever the capacity pressure, might_contain never returns False
+    for a present key (overflow degrades to all-pass, never drops)."""
+    from privacy_crawler_parser_tokenizer_spark.operators.cuckoo import CuckooFilter
+
+    c = CuckooFilter(capacity=capacity)
+    s = pd.Series(values, dtype="object")
+    c.add(s)
+    assert c.might_contain(s).all()
