@@ -45,6 +45,7 @@ HEADLINE = [
     "events_hourly",
     "embedding_topk",
     "ivf_topk",
+    "pq_topk",
     "embedding_neardup",
     "neardup_not_exact",
     "docs_without_pairs",

@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1029,6 +1030,138 @@ def q_ivf_topk(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= 3)
         .select(F.col("qid").alias("vec_id"), "neighbor_id", "rank")
+    )
+
+
+_PQ_SQL_D = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2])))"
+
+@query(
+    "pq_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, t.m AS m, q[t.m*16+1 : t.m*16+16] AS sv
+      FROM e, (VALUES (0), (1), (2), (3)) t(m)
+    ),
+    cw AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < 16),
+    db AS (SELECT vec_id, m, sv FROM sub WHERE vec_id >= 16),
+    codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT db.vec_id, db.m, cw.cid,
+               row_number() OVER (PARTITION BY db.vec_id, db.m
+                 ORDER BY {_PQ_SQL_D.format(a="db.sv", b="cw.cv")}, cw.cid) AS rn
+        FROM db JOIN cw ON db.m = cw.m) WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS qid, m, sv AS qv FROM sub
+           WHERE vec_id >= 16 AND vec_id < 26),
+    parts AS (
+      SELECT qs.qid, codes.vec_id AS nid,
+             {_PQ_SQL_D.format(a="qs.qv", b="cw.cv")} AS d
+      FROM qs
+      JOIN codes ON qs.m = codes.m AND codes.vec_id <> qs.qid
+      JOIN cw ON cw.m = codes.m AND cw.cid = codes.cid
+    ),
+    adc AS (SELECT qid, nid, CAST(sum(d) AS BIGINT) AS dist
+            FROM parts GROUP BY qid, nid)
+    SELECT qid AS vec_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+      FROM adc) WHERE rank <= 5
+    """,
+)
+def q_pq_topk(spark, sf_dir):  # noqa: C901
+    """Product-quantization ANN (Jegou et al. 2011): 4 subspaces x 16
+    deterministic codewords (the first 16 vectors' subvectors — the
+    'trained' codebook stand-in, as ivf_topk does for its coarse
+    centroids), asymmetric-distance top-5.
+
+    Exactness across engines: embeddings quantize ONCE to integer
+    milli-units (floor(x*1000+0.5) — floor is IEEE-exact everywhere),
+    so every distance, argmin and rank is exact int64 arithmetic — no
+    float-noise tie risk anywhere.
+
+    Scale shape: the codebook broadcasts (16 x 64 ints); encoding is a
+    block-local numpy argmin per partition (mapInPandas) producing M
+    one-byte codes per vector — the 100TB memory story of PQ; queries'
+    distance tables broadcast; ADC is a table lookup join, never a
+    full-vector scan per pair."""
+    import numpy as np
+
+    M, SD, K = 4, 16, 16
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1000 + 0.5),
+        ).alias("q"),
+    )
+    first = {
+        r.vec_id: np.array(r.q, dtype=np.int64)
+        for r in emb.filter(F.col("vec_id") < 26).collect()
+    }
+    cw = np.stack([first[i] for i in range(K)])          # K x 64
+    cw_sub = cw.reshape(K, M, SD).transpose(1, 0, 2)     # M x K x SD
+    # per-query ADC lookup tables: qid -> M x K int64
+    tables = {
+        qid: np.array(
+            [
+                ((first[qid].reshape(M, SD)[m][None, :] - cw_sub[m]) ** 2).sum(1)
+                for m in range(M)
+            ]
+        )
+        for qid in range(K, 26)
+    }
+    bc_cw = spark.sparkContext.broadcast(cw_sub)
+    bc_tables = spark.sparkContext.broadcast(tables)
+
+    def encode(batches):
+        cws = bc_cw.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["q"].tolist(), dtype=np.int64).reshape(-1, M, SD)
+            out = {"vec_id": pdf["vec_id"]}
+            for m in range(M):
+                d = ((X[:, m, None, :] - cws[m][None]) ** 2).sum(2)
+                out[f"c{m}"] = d.argmin(1)               # first-min == lowest cid
+            yield pd.DataFrame(out)
+
+    codes = emb.filter(F.col("vec_id") >= 16).mapInPandas(
+        encode, "vec_id long, c0 int, c1 int, c2 int, c3 int"
+    )
+
+    @F.pandas_udf("long")
+    def adc(qid: pd.Series, c0: pd.Series, c1: pd.Series, c2: pd.Series,
+            c3: pd.Series) -> pd.Series:
+        t = bc_tables.value
+        cs = np.stack([c0, c1, c2, c3], axis=1)
+        qs = qid.to_numpy()
+        return pd.Series(
+            [int(sum(t[q][m][c[m]] for m in range(4))) for q, c in zip(qs, cs)]
+        )
+
+    queries_df = spark.range(K, 26).select(F.col("id").alias("qid"))
+    pairs = (
+        codes.crossJoin(F.broadcast(queries_df))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "dist",
+            adc(F.col("qid"), F.col("c0"), F.col("c1"), F.col("c2"), F.col("c3")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("dist", "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+        )
     )
 
 
