@@ -90,7 +90,10 @@ def main() -> None:
     spark.range(10_000).repartition(CPUS).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    _run_suite(spark, names, qs)
 
+
+def _run_suite(spark, names, qs) -> None:
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in names:
