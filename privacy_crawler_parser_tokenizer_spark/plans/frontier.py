@@ -858,6 +858,46 @@ class FrontierCrawler:
         })
         return True
 
+    # -- maintenance ------------------------------------------------------
+    def expire_seen(self, hrefs: list[str]) -> int:
+        """TTL/recrawl expiry (north rule: the deletable-filter path):
+        remove URLs from the ``seen`` table so the frontier re-admits
+        them when rediscovered.  An O(seen) maintenance rewrite —
+        aggregate the probe-count deltas, drop the expired hrefs, swap
+        in one compacted snapshot (Warehouse.rewrite, Iceberg
+        transform-and-overwrite shape) — never part of the round loop.
+
+        The cuckoo filter unlearns the fingerprints in O(1) per URL;
+        a Bloom filter cannot unlearn, so that path rebuilds the
+        filter from the kept set.  Returns the number of seen URLs
+        actually expired."""
+        last = self.wh.last_committed_round()
+        if last is None or not hrefs:
+            return 0
+        seen = self._load_union("seen", _SEEN_SCHEMA, last)
+        expired_df = self.spark.createDataFrame(
+            [(h,) for h in hrefs], "href string"
+        )
+        agg = seen.groupBy("href").agg(
+            F.sum("probes").cast("long").alias("probes"),
+            F.min("first_round").cast("int").alias("first_round"),
+        )
+        n_expired = int(
+            agg.join(F.broadcast(expired_df), "href", "left_semi").count()
+        )
+        kept = agg.join(F.broadcast(expired_df), "href", "left_anti")
+        self.wh.rewrite(self.spark, "seen", last, kept)
+        if self.cfg.use_bloom:
+            if hasattr(self.bloom, "delete"):       # cuckoo: O(1) unlearn
+                self.bloom.delete(pd.Series(list(hrefs), dtype="object"))
+            else:                                   # bloom: rebuild from kept
+                remaining = self._load_union("seen", _SEEN_SCHEMA, last)
+                self.bloom = build_filter_distributed(
+                    remaining.select("href"), "href", self._filter_factory()
+                )
+            self._bloom_dirty = True
+        return n_expired
+
     # -- result readers ---------------------------------------------------
     def crawl_log(self) -> DataFrame:
         """Full log in crawl-order parity order (seed_rank, discovery_rank)."""

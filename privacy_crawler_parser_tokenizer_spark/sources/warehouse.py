@@ -167,14 +167,33 @@ class Warehouse:
         """
         if self.monitored(table):
             return  # a streaming reader is globbing the snap= dirs
+        self.rewrite(spark, table, upto, None)
+
+    def rewrite(self, spark: SparkSession, table: str, upto: int,
+                df: DataFrame | None) -> None:
+        """Replace every snapshot <= ``upto`` with one snapshot holding
+        ``df`` (or, when ``df`` is None, the union of the replaced
+        snapshots — plain compaction).  The Iceberg rewrite/overwrite
+        analog: maintenance ops like TTL expiry of the ``seen`` table
+        transform-and-swap through this, keeping the same crash-safety
+        (new dir first, one atomic manifest rename, old dirs deleted
+        only after)."""
         m = self._manifest(table)
         snaps = sorted(s for s in m["snapshots"] if s <= upto)
-        if len(snaps) <= 1:
+        if df is None and len(snaps) <= 1:
+            return
+        if not snaps:
             return
         dirs = m.get("dirs", {})
         old_paths = [self.snapshot_path(table, s) for s in snaps]
-        merged = spark.read.parquet(*old_paths)
-        new_dirname = f"compact={upto}-{len(snaps)}"
+        merged = df if df is not None else spark.read.parquet(*old_paths)
+        # generation counter keeps the new dir distinct from ANY dir a
+        # previous compact/rewrite may have produced for the same
+        # ``upto`` — the merged plan lazily READS the old dirs, so the
+        # target must never collide with a source
+        gen = int(m.get("gen", 0)) + 1
+        m["gen"] = gen
+        new_dirname = f"compact={upto}-{len(snaps)}g{gen}"
         new_dir = os.path.join(self.root, table, new_dirname)
         if os.path.exists(new_dir):
             shutil.rmtree(new_dir)

@@ -370,3 +370,40 @@ def test_bloom_broadcast_lifecycle(spark, tmp_path):
     assert (
         fc.bloom_broadcasts_created - fc.bloom_broadcasts_destroyed == 1
     ), (fc.bloom_broadcasts_created, fc.bloom_broadcasts_destroyed)
+
+
+def test_expire_seen_recrawl_path(spark, tmp_path):
+    """TTL expiry removes a URL from the seen table (probe counts of
+    the others preserved exactly) and unlearns it from the cuckoo
+    filter, so a future discovery re-admits it — the deletable-filter
+    recrawl path the Bloom cannot provide."""
+    pages, seeds, robots = gen_web(n_domains=8, seed=5)
+    fc = run_frontier(
+        spark, tmp_path / "whx", pages, seeds, robots=robots,
+        config_kw={"seen_filter": "cuckoo"},
+    )
+    before = {r.href: r.revisits for r in fc.seen().collect()}
+    victim = sorted(before)[0]
+
+    assert fc.expire_seen([victim]) == 1
+    assert fc.expire_seen(["http://never-seen.example/x"]) == 0
+
+    after = {r.href: r.revisits for r in fc.seen().collect()}
+    assert victim not in after
+    others = {k: v for k, v in before.items() if k != victim}
+    assert after == others                      # everyone else untouched
+
+    import pandas as pd
+
+    probe = fc.bloom.might_contain(pd.Series(list(others) + [victim]))
+    assert probe[:-1].all()                     # kept URLs still pass
+    # the victim's fingerprint is gone (collision-free in this corpus)
+    assert not probe[-1]
+
+    # bloom path: filter rebuilt from the kept set, no false negatives
+    fc2 = run_frontier(spark, tmp_path / "why", pages, seeds, robots=robots)
+    v2 = sorted(r.href for r in fc2.seen().collect())[0]
+    assert fc2.expire_seen([v2]) == 1
+    kept2 = [r.href for r in fc2.seen().collect()]
+    assert v2 not in kept2
+    assert fc2.bloom.might_contain(pd.Series(kept2, dtype="object")).all()
