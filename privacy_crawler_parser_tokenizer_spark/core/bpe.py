@@ -17,7 +17,14 @@ from __future__ import annotations
 import re
 from collections import Counter
 
-_WORD_RE = re.compile(r"\S+")
+# Word = maximal run of non-whitespace with WHITESPACE DEFINED AS THE
+# JAVA-REGEX DEFAULT CLASS [ \t\n\x0B\f\r]: the distributed trainer
+# tokenizes with Spark's split(lower(text), '\s+') (Java regex), and
+# Python's \S additionally treats Unicode whitespace (NBSP, ideographic
+# space, \x1c-\x1f) as separators — that mismatch would fork the
+# word-frequency tables and hence the learned merges between the canon
+# and the cluster.  Explicit class == identical tokenization everywhere.
+_WORD_RE = re.compile(r"[^ \t\n\x0b\f\r]+")
 END = "</w>"
 
 

@@ -53,7 +53,10 @@ def sent_tokenize(text: str) -> list[str]:
                 out.append(seg)
             start = m.end()
             continue
-        if m.group(1) == ".":
+        if m.group(1) == "." and "\n" not in m.group(3):
+            # (whitespace containing a newline is a block break: it
+            # splits unconditionally — the suppression guards below are
+            # for mid-paragraph periods only)
             # abbreviation / initial-letter guard on the preceding token
             prev = text[start:m.start() + 1]
             parts = prev.rsplit(None, 1)

@@ -188,31 +188,40 @@ def make_process_page_udf(bc_gt_counts, bc_dictionary):
         html: pd.Series, is_landing: pd.Series, expand_ok: pd.Series
     ) -> pd.DataFrame:
         _bump_recursion_limit()
-        gt = bc_gt_counts.value
-        words = bc_dictionary.value
-        out_contents, out_hrefs, out_sim = [], [], []
-        for h, landing, dok in zip(html, is_landing, expand_ok):
-            h = h or ""
-            contents, raw_hrefs = strip_and_candidate_hrefs(
-                h, want_links=bool(landing or dok)
-            ) if h else ("", [])
-            hrefs = raw_hrefs if contents != "" else []
-            if not landing and contents:
-                sim = (
-                    tfidf_cosine_counts(gt, tokenize_counts(contents))
-                    if is_english(words, contents)
-                    else 0.0
-                )
-            else:
-                sim = 0.0
-            out_contents.append(contents)
-            out_hrefs.append(hrefs)
-            out_sim.append(sim)
-        return pd.DataFrame(
-            {"contents": out_contents, "hrefs": out_hrefs, "sim_raw": out_sim}
+        return _process_rows(
+            html, is_landing, expand_ok, bc_gt_counts.value, bc_dictionary.value
         )
 
     return process_page
+
+
+def _process_rows(html, is_landing, expand_ok, gt, words) -> pd.DataFrame:
+    """The ONE page kernel both process paths share (fused
+    PythonFetcher.fetch_process and the unfused ArrowEvalPython UDF):
+    strip + conditional link extraction + conditional verify.  Fused
+    and unfused crawls must stay row-identical — one loop body, zero
+    drift risk."""
+    out_contents, out_hrefs, out_sim = [], [], []
+    for h, landing, dok in zip(html, is_landing, expand_ok):
+        h = h or ""
+        contents, raw_hrefs = strip_and_candidate_hrefs(
+            h, want_links=bool(landing or dok)
+        ) if h else ("", [])
+        hrefs = raw_hrefs if contents != "" else []
+        if not landing and contents:
+            sim = (
+                tfidf_cosine_counts(gt, tokenize_counts(contents))
+                if is_english(words, contents)
+                else 0.0
+            )
+        else:
+            sim = 0.0
+        out_contents.append(contents)
+        out_hrefs.append(hrefs)
+        out_sim.append(sim)
+    return pd.DataFrame(
+        {"contents": out_contents, "hrefs": out_hrefs, "sim_raw": out_sim}
+    )
 
 
 def make_process_batch_fn(bc_gt_counts, bc_dictionary, max_depth: int):
@@ -226,34 +235,17 @@ def make_process_batch_fn(bc_gt_counts, bc_dictionary, max_depth: int):
 
     def process(pdf: pd.DataFrame) -> pd.DataFrame:
         _bump_recursion_limit()
-        gt = bc_gt_counts.value
-        words = bc_dictionary.value
-        out_contents, out_hrefs, out_sim = [], [], []
-        for h, phase, depth in zip(
-            pdf["html"], pdf["phase"], pdf["depth_count"]
-        ):
-            h = h or ""
-            landing = phase == "landing"
-            dok = int(depth) < max_depth
-            contents, raw_hrefs = strip_and_candidate_hrefs(
-                h, want_links=bool(landing or dok)
-            ) if h else ("", [])
-            hrefs = raw_hrefs if contents != "" else []
-            if not landing and contents:
-                sim = (
-                    tfidf_cosine_counts(gt, tokenize_counts(contents))
-                    if is_english(words, contents)
-                    else 0.0
-                )
-            else:
-                sim = 0.0
-            out_contents.append(contents)
-            out_hrefs.append(hrefs)
-            out_sim.append(sim)
+        res = _process_rows(
+            pdf["html"],
+            [p == "landing" for p in pdf["phase"]],
+            [int(d) < max_depth for d in pdf["depth_count"]],
+            bc_gt_counts.value,
+            bc_dictionary.value,
+        )
         pdf = pdf.copy()
-        pdf["contents"] = out_contents
-        pdf["hrefs"] = out_hrefs
-        pdf["sim_raw"] = out_sim
+        pdf["contents"] = res["contents"].values
+        pdf["hrefs"] = res["hrefs"].values
+        pdf["sim_raw"] = res["sim_raw"].values
         return pdf
 
     return process

@@ -882,14 +882,24 @@ class FrontierCrawler:
             F.sum("probes").cast("long").alias("probes"),
             F.min("first_round").cast("int").alias("first_round"),
         )
-        n_expired = int(
-            agg.join(F.broadcast(expired_df), "href", "left_semi").count()
-        )
+        # only hrefs that are ACTUALLY in the seen table may touch the
+        # cuckoo: deleting a never-inserted value can evict a colliding
+        # fingerprint that belongs to a still-seen URL (a false
+        # negative, re-admitting a crawled URL)
+        matched = [
+            r.href
+            for r in agg.join(
+                F.broadcast(expired_df), "href", "left_semi"
+            ).collect()
+        ]
+        n_expired = len(matched)
+        if n_expired == 0:
+            return 0
         kept = agg.join(F.broadcast(expired_df), "href", "left_anti")
         self.wh.rewrite(self.spark, "seen", last, kept)
         if self.cfg.use_bloom:
             if hasattr(self.bloom, "delete"):       # cuckoo: O(1) unlearn
-                self.bloom.delete(pd.Series(list(hrefs), dtype="object"))
+                self.bloom.delete(pd.Series(matched, dtype="object"))
             else:                                   # bloom: rebuild from kept
                 remaining = self._load_union("seen", _SEEN_SCHEMA, last)
                 self.bloom = build_filter_distributed(

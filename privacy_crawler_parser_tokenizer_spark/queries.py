@@ -586,17 +586,6 @@ def q_simhash(spark, sf_dir):
     return g.select("doc_id", F.expr(_SIM_VAL).cast("long").alias("simhash"))
 
 
-_SIMHASH_SQL = f"""
-    WITH w AS (
-      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
-      FROM documents WHERE trim(text) <> ''
-    ),
-    h AS (SELECT doc_id, {_H16} AS h FROM w),
-    s AS (SELECT doc_id, {_SIM_SUMS} FROM h GROUP BY doc_id)
-    SELECT doc_id, CAST({_SIM_VAL} AS BIGINT) AS simhash FROM s
-"""
-
-
 # 32-bit SimHash for the PAIR generator: a 16-bit hash has only 64
 # nibble-buckets — mega-buckets and a quadratic pair explosion at 60k+
 # docs.  32 bits banded as 2 x 16-bit halves gives 65,536 buckets per

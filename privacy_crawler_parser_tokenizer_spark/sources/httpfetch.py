@@ -48,6 +48,7 @@ REQUEST_HEADERS = {
 CONNECT_TIMEOUT_S = 3.0   # utils.py:149 timeout=(3, 6)
 READ_TIMEOUT_S = 6.0
 MAX_REDIRECTS = 5
+MAX_CONNECTIONS = 64      # keep-alive cache cap per client (LRU evict)
 
 
 def _decode_body(body: bytes, content_type: str, content_encoding: str) -> str:
@@ -76,20 +77,28 @@ class HttpClient:
 
     def __init__(self, connect_timeout: float = CONNECT_TIMEOUT_S,
                  read_timeout: float = READ_TIMEOUT_S,
-                 verify_tls: bool = True):
+                 verify_tls: bool = True,
+                 max_connections: int = MAX_CONNECTIONS):
         self.connect_timeout = connect_timeout
         self.read_timeout = read_timeout
+        self.max_connections = max_connections
         self._ctx = (
             ssl.create_default_context()
             if verify_tls
             else ssl._create_unverified_context()
         )
+        # insertion-ordered dict as LRU: a crawl worker sees thousands
+        # of distinct hosts over its lifetime — without eviction the
+        # cache exhausts file descriptors and every subsequent fetch
+        # silently degrades to ''
         self._conns: dict[tuple[str, str, int], HTTPConnection] = {}
 
     def _connection(self, scheme: str, host: str, port: int) -> HTTPConnection:
         key = (scheme, host, port)
-        conn = self._conns.get(key)
+        conn = self._conns.pop(key, None)
         if conn is None:
+            while len(self._conns) >= self.max_connections:
+                self._drop(*next(iter(self._conns)))   # evict LRU
             if scheme == "https":
                 conn = HTTPSConnection(host, port, timeout=self.connect_timeout,
                                        context=self._ctx)
@@ -97,7 +106,7 @@ class HttpClient:
                 conn = HTTPConnection(host, port, timeout=self.connect_timeout)
             conn.connect()                      # pays the 3s connect budget
             conn.sock.settimeout(self.read_timeout)  # then the 6s read budget
-            self._conns[key] = conn
+        self._conns[key] = conn                 # (re)insert as most-recent
         return conn
 
     def _drop(self, scheme: str, host: str, port: int) -> None:

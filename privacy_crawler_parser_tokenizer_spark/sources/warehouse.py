@@ -144,10 +144,29 @@ class Warehouse:
             pass
 
     def monitored(self, table: str) -> bool:
+        """True while a LIVE reader holds a marker.  Markers whose pid
+        no longer exists (crashed/killed monitor that never released)
+        are reaped on sight — a stale marker must not disable
+        compaction forever."""
         d = self._monitors_dir()
         if not os.path.isdir(d):
             return False
-        return any(f.startswith(f"{table}.") for f in os.listdir(d))
+        alive = False
+        for f in os.listdir(d):
+            if not f.startswith(f"{table}."):
+                continue
+            try:
+                pid = int(f.rsplit(".", 1)[1])
+                os.kill(pid, 0)                 # liveness probe only
+                alive = True
+            except (ValueError, ProcessLookupError):
+                try:
+                    os.remove(os.path.join(d, f))   # reap stale marker
+                except FileNotFoundError:
+                    pass
+            except PermissionError:
+                alive = True                    # exists, owned elsewhere
+        return alive
 
     def snapshot_path(self, table: str, snapshot: int) -> str:
         """Data dir of a snapshot (compacted snapshots live in mapped

@@ -12,6 +12,10 @@ from privacy_crawler_parser_tokenizer_spark.core.bpe import (
 )
 
 CORPUS = [
+    # NBSP-joined token: Java \s and Python \s disagree on U+00A0, so
+    # the shared explicit-ASCII word class is what keeps the
+    # distributed and sequential tokenizations identical
+    "data\u00a0policy applies; see data\u00a0policy terms",
     "the privacy policy applies to the data we collect",
     "we collect data about the pages you visit",
     "the policy describes the data sharing practices",

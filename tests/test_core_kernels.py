@@ -228,3 +228,14 @@ class TestRobots:
         assert not robots_allows(txt, "/a/x")
         assert robots_allows(txt, "/a/b/c")
         assert robots_allows(txt, "/other")
+
+
+class TestSentencizeBlockBreaks:
+    def test_newline_splits_override_suppressions(self):
+        # block breaks split even where the mid-paragraph guards
+        # (abbreviation / lowercase continuation) would suppress
+        assert sent_tokenize(
+            "First line ends here.\n\nsecond paragraph starts lowercase."
+        ) == ["First line ends here.", "second paragraph starts lowercase."]
+        assert sent_tokenize("We cover cookies etc.\nother topics below.") == [
+            "We cover cookies etc.", "other topics below."]
