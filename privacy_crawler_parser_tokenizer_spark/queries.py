@@ -966,6 +966,50 @@ def _neardup_pairs_gemm(spark, sf_dir, threshold: float = 0.3) -> DataFrame:
 
 
 @query(
+    "dedup_components",
+    """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    near AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
+    ),
+    sym AS (SELECT a AS u, b AS w FROM near UNION SELECT b, a FROM near),
+    reach(u, w) AS (
+      SELECT u, w FROM sym
+      UNION
+      SELECT r.u, s.w FROM reach r JOIN sym s ON r.w = s.u
+    )
+    SELECT v.vec_id AS vec_id,
+           least(v.vec_id, coalesce(min(r.w), v.vec_id)) AS rep
+    FROM (SELECT vec_id FROM embeddings) v
+    LEFT JOIN reach r ON v.vec_id = r.u
+    GROUP BY v.vec_id
+    """,
+)
+def q_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the candidate-pair
+    graph, min-id representative per component (the keep-set step that
+    turns pairs into dedup decisions — a~b and b~c form one cluster
+    even though a~c was never scored).  Iterative min-label propagation
+    (operators/components.py): one edge join per round, convergence
+    detected by an Observation riding the update, rounds = component
+    diameter.  The oracle is the same closure as a recursive CTE —
+    exact integer output, hash-checked."""
+    from .operators.components import connected_components
+
+    near = _neardup_pairs_gemm(spark, sf_dir)
+    verts = _t(spark, sf_dir, "embeddings").select("vec_id")
+    out = connected_components(near, verts)
+    return out.select(
+        F.col("v").cast("long").alias("vec_id"),
+        F.col("rep").cast("long").alias("rep"),
+    )
+
+
+@query(
     "ivf_topk",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

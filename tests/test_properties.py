@@ -182,3 +182,34 @@ def test_cuckoo_contract_under_churn(values, capacity):
     s = pd.Series(values, dtype="object")
     c.add(s)
     assert c.might_contain(s).all()
+
+
+# --- connected components: distributed == union-find canon -------------------
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                max_size=60),
+       st.integers(41, 60))
+def test_components_match_union_find(spark, raw_edges, n_vertices):
+    """Min-label propagation over ANY random graph equals the
+    sequential union-find canon, vertex for vertex (incl. singletons,
+    self-loops and duplicate edges).  Chains (path graphs) exercise
+    multi-round convergence."""
+    from privacy_crawler_parser_tokenizer_spark.operators.components import (
+        components_seq,
+        connected_components,
+    )
+
+    vertices = list(range(n_vertices))
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    want = components_seq(edges, vertices)
+
+    edges_df = spark.createDataFrame(edges or [(0, 0)], "a int, b int")
+    if not edges:
+        edges_df = edges_df.filter("a <> a")
+    verts_df = spark.createDataFrame([(v,) for v in vertices], "v int")
+    got = {
+        r.v: r.rep
+        for r in connected_components(edges_df, verts_df).collect()
+    }
+    assert got == want
