@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -177,6 +178,76 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+LSH_PAIR_SCHEMA = StructType(
+    [StructField("a", LongType()), StructField("b", LongType())]
+)
+LSH_STATE_SCHEMA = StructType(
+    [StructField("ids", ArrayType(LongType()))]
+)
+
+
+def _emit_bucket_pairs(key, pdf_iter: Iterator[pd.DataFrame],
+                       state: GroupState) -> Iterator[pd.DataFrame]:
+    (seen,) = state.get if state.exists else ([],)
+    seen = list(seen)
+    out_a, out_b = [], []
+    chunks = list(pdf_iter)
+    if chunks:
+        new_ids = sorted(
+            pd.concat(chunks, ignore_index=True)["doc_id"].unique().tolist()
+        )
+        for nid in new_ids:
+            for old in seen:
+                if old != nid:
+                    out_a.append(min(old, nid))
+                    out_b.append(max(old, nid))
+            seen.append(int(nid))
+        yield pd.DataFrame({"a": out_a, "b": out_b})
+    state.update((seen,))
+
+
+def lsh_candidates_stream(docs: DataFrame) -> DataFrame:
+    """ONLINE near-dup detection: MinHash-band LSH over a document
+    stream.  Band signatures are computed with the same native
+    expressions as the batch query; each (band, mh) bucket keeps the
+    doc_ids seen so far as stream state (applyInPandasWithState) and a
+    new arrival emits one candidate pair per prior bucket member.
+
+    Invariant (asserted in tests): every unordered batch pair is found
+    exactly when the LATER of its two docs arrives, so the union of
+    emitted pairs over the run == the batch lsh_candidate_pairs set
+    (modulo the same cross-band duplicates batch dedups with distinct).
+    State grows with distinct bucket members — production runs bound it
+    with a TTL timeout, the trade every streaming dedup makes."""
+    from ..functions.text import minhash_col, shingles_col
+
+    sh = shingles_col(F.col("html")).alias("sh")
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), sh).filter(
+        F.size("sh") > 0
+    )
+    bands = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        minhash_col(F.col("sh"), b).alias("mh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.band").alias("band"), F.col("x.mh").alias("mh"))
+    return bands.groupBy("band", "mh").applyInPandasWithState(
+        _emit_bucket_pairs,
+        outputStructType=LSH_PAIR_SCHEMA,
+        stateStructType=LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

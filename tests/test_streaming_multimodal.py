@@ -243,3 +243,73 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     assert sorted(
         r.text_hash for r in spark.table("dedup_stream2").collect()
     ) == want_hashes
+
+
+def test_streaming_lsh_candidates_match_batch(spark, tmp_path):
+    """Online LSH near-dup candidates: the union of pairs emitted over
+    the stream == the batch band-bucket pair set (each pair surfaces
+    when its later member arrives)."""
+    import pandas as pd
+
+    from privacy_crawler_parser_tokenizer_spark.functions.text import (
+        minhash_col,
+        shingles_col,
+    )
+
+    base = "we collect and share your personal data with trusted partners"
+    rows = [
+        ("1", base),
+        ("2", base + " today"),                       # near-dup of 1
+        ("3", "completely different text about cookies and beacons here"),
+        ("4", base + " today"),                       # dup of 2 (and 1)
+        ("5", "another unrelated sentence with distinct shingle content"),
+    ]
+    d = tmp_path / "lsh-docs"
+    spark.createDataFrame(
+        [
+            (doc_id, html,
+             (pd.Timestamp("2026-01-01") + pd.Timedelta(minutes=i)).to_pydatetime())
+            for i, (doc_id, html) in enumerate(rows)
+        ],
+        jobs.DOCS_STREAM_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(str(d))
+
+    stream = jobs.lsh_candidates_stream(
+        jobs.read_documents_stream(spark, str(d), max_files=1)
+    )
+    assert stream.isStreaming
+    jobs.run_to_memory(stream, "lsh_stream")
+    got = {(r.a, r.b) for r in spark.table("lsh_stream").collect()}
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(str(d))
+    sh = shingles_col(F.col("html")).alias("sh")
+    bands = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), sh)
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         minhash_col(F.col("sh"), b).alias("mh"))
+                for b in range(4)
+            ])).alias("x"),
+        )
+        .select("doc_id", "x.band", "x.mh")
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    want = {
+        (r.a, r.b)
+        for r in x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.mh") == F.col("y.mh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    assert (1, 2) in got and (2, 4) in got       # real near-dups surfaced
