@@ -36,6 +36,7 @@ HEADLINE = [
     "minhash_bands",
     "lsh_candidate_pairs",
     "exact_dedup",
+    "training_keep_list",
     "sentence_pipeline",
     "pricing_summary",
     "top_customers",

@@ -717,8 +717,7 @@ def _microfrac_spark(num: str, den: str):
     )
 
 
-@query(
-    "gopher_quality",
+_GOPHER_SQL = (
     f"""
     WITH w AS (
       SELECT doc_id, text,
@@ -755,8 +754,11 @@ def _microfrac_spark(num: str, den: str):
         bullet_frac=_microfrac_sql("nb", "nl"),
         ellipsis_frac=_microfrac_sql("ne", "nl"),
         stop_frac=_microfrac_sql("ns", "n"),
-    ),
+    )
 )
+
+
+@query("gopher_quality", _GOPHER_SQL)
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style document quality rules (Rae et al. 2021 §A1.1,
     adapted): word count band, mean word length band, bullet/ellipsis
@@ -963,6 +965,66 @@ def _neardup_pairs_gemm(spark, sf_dir, threshold: float = 0.3) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     return emb.groupBy("label").applyInPandas(block, "a long, b long")
+
+
+_LSH_BANDS_SQL = f"""
+    SELECT doc_id, band, mh FROM (
+      SELECT doc_id,
+             {", ".join(f"list_min(list_transform(sh, s -> md5('{b}:' || s))) AS mh_{b}" for b in range(_N_BANDS))}
+      FROM ({_SHINGLES_SQL}) WHERE len(sh) > 0
+    ) m, LATERAL (
+      {" UNION ALL ".join(f"SELECT {b} AS band, mh_{b} AS mh" for b in range(_N_BANDS))}
+    ) t
+"""
+
+
+@query(
+    "training_keep_list",
+    f"""
+    WITH g AS ({_GOPHER_SQL}),
+    l AS ({_lang_id_sql()}),
+    d AS (
+      SELECT doc_id,
+             (row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1) AS dup
+      FROM documents
+    ),
+    bands AS ({_LSH_BANDS_SQL}),
+    losers AS (
+      SELECT DISTINCT y.doc_id AS doc_id
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.mh = y.mh AND x.doc_id < y.doc_id
+    )
+    SELECT g.doc_id FROM g
+    JOIN l USING (doc_id) JOIN d USING (doc_id)
+    WHERE g.gopher_pass AND l.pred_lang = 'en' AND NOT d.dup
+      AND g.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def q_training_keep_list(spark, sf_dir):
+    """The COMPOSED training-data gate — the pipeline a 100TB corpus
+    runs end to end: Gopher quality rules AND English language-ID AND
+    exact-dedup first-writer AND LSH near-dup survivor (a near-dup
+    candidate pair keeps its lower doc_id).  Every stage reuses the
+    standalone oracle-checked operator; the composite is itself
+    hash-checked, proving the operators compose without semantic
+    drift."""
+    g = q_gopher_quality(spark, sf_dir).select("doc_id", "gopher_pass")
+    lang = q_lang_id(spark, sf_dir)
+    dup = q_exact_dedup(spark, sf_dir)
+    losers = (
+        q_lsh_candidate_pairs(spark, sf_dir)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        g.join(lang, "doc_id")
+        .join(dup, "doc_id")
+        .filter(
+            F.col("gopher_pass") & (F.col("pred_lang") == "en") & ~F.col("dup")
+        )
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id")
+    )
 
 
 @query(
