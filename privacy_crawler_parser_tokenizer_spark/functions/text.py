@@ -282,6 +282,11 @@ def fingerprint_col(text: Column) -> Column:
     return F.md5(normalized)
 
 
+# MinHash-LSH band count shared by the batch queries, the streaming
+# online-LSH operator, and their tests — one constant, no drift
+N_BANDS = 4
+
+
 def shingles_col(text: Column, k: int = 3) -> Column:
     """Word k-gram shingles as an array (empty when < k words).
 

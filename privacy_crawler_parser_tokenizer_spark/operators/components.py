@@ -74,10 +74,15 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
         .unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("w")))
         .distinct()
     )
-    labels = _sized(vertices.select(
-        F.col(vertices.columns[0]).alias("v"),
-        F.col(vertices.columns[0]).alias("rep"),
-    ))
+    # admit edge endpoints missing from ``vertices`` (the union-find
+    # canon does via setdefault) — without a label row, propagation
+    # through such a vertex would be silently severed
+    all_verts = (
+        vertices.select(F.col(vertices.columns[0]).alias("v"))
+        .unionByName(sym.select(F.col("u").alias("v")))
+        .distinct()
+    )
+    labels = _sized(all_verts.select("v", F.col("v").alias("rep")))
     for _ in range(max_iters):
         neigh_min = (
             sym.join(labels, sym["w"] == labels["v"])
@@ -96,8 +101,14 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
             .drop("_chg")
         )
         updated = (updated.coalesce(k) if k else updated).localCheckpoint()
-        labels.unpersist()
+        # (no unpersist: localCheckpoint blocks are RDD-level and are
+        # released by the ContextCleaner when the round's frame is
+        # garbage-collected; DataFrame.unpersist would be a no-op)
         labels = updated
         if int(obs.get["n"] or 0) == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations "
+        "(graph diameter exceeds max_iters) — raising instead of returning "
+        "silently-wrong intermediate labels"
+    )

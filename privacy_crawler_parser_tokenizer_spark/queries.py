@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from .functions.text import (
     EN_STOPWORDS,
     LANG_MARKERS,
+    N_BANDS,
     canonicalize_url_col,
     complete_link_col,
     fingerprint_col,
@@ -55,6 +56,17 @@ def query(name: str, sql: str | None = None):
         return fn
 
     return deco
+
+
+# shared oracle snippets: the label-bucketed embedding near-pair join
+# (one copy — embedding_neardup / neardup_not_exact / docs_without_pairs
+# / dedup_components all quote it, so a threshold change can't fork them)
+_EMB_E_SQL = "SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings"
+_NEAR_PAIRS_SQL = """
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -194,13 +206,9 @@ def q_lang_rollup(spark, sf_dir):
 
 @query(
     "neardup_not_exact",
-    """
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-    near AS (
-      SELECT a.vec_id AS a, b.vec_id AS b
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
-    ),
+    f"""
+    WITH e AS ({_EMB_E_SQL}),
+    near AS ({_NEAR_PAIRS_SQL}),
     ident AS (
       SELECT a.vec_id AS a, b.vec_id AS b
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -232,13 +240,9 @@ def q_neardup_not_exact(spark, sf_dir):
 
 @query(
     "docs_without_pairs",
-    """
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-    near AS (
-      SELECT a.vec_id AS a, b.vec_id AS b
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
-    )
+    f"""
+    WITH e AS ({_EMB_E_SQL}),
+    near AS ({_NEAR_PAIRS_SQL})
     SELECT vec_id FROM e
     WHERE vec_id NOT IN (SELECT a FROM near) AND vec_id NOT IN (SELECT b FROM near)
     """,
@@ -360,7 +364,7 @@ def q_fingerprints(spark, sf_dir):
     return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
 
 
-_N_BANDS = 4
+_N_BANDS = N_BANDS
 
 _SHINGLES_SQL = """
     SELECT doc_id,
@@ -927,11 +931,10 @@ def _dot(a, b):
 
 @query(
     "embedding_neardup",
-    """
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
-    SELECT a.vec_id AS a, b.vec_id AS b
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
+    f"""
+    WITH e AS ({_EMB_E_SQL}),
+    near AS ({_NEAR_PAIRS_SQL})
+    SELECT a, b FROM near
     """,
 )
 def q_embedding_neardup(spark, sf_dir):
@@ -967,17 +970,6 @@ def _neardup_pairs_gemm(spark, sf_dir, threshold: float = 0.3) -> DataFrame:
     return emb.groupBy("label").applyInPandas(block, "a long, b long")
 
 
-_LSH_BANDS_SQL = f"""
-    SELECT doc_id, band, mh FROM (
-      SELECT doc_id,
-             {", ".join(f"list_min(list_transform(sh, s -> md5('{b}:' || s))) AS mh_{b}" for b in range(_N_BANDS))}
-      FROM ({_SHINGLES_SQL}) WHERE len(sh) > 0
-    ) m, LATERAL (
-      {" UNION ALL ".join(f"SELECT {b} AS band, mh_{b} AS mh" for b in range(_N_BANDS))}
-    ) t
-"""
-
-
 @query(
     "training_keep_list",
     f"""
@@ -988,7 +980,7 @@ _LSH_BANDS_SQL = f"""
              (row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1) AS dup
       FROM documents
     ),
-    bands AS ({_LSH_BANDS_SQL}),
+    bands AS ({_minhash_sql()}),
     losers AS (
       SELECT DISTINCT y.doc_id AS doc_id
       FROM bands x JOIN bands y
@@ -1029,15 +1021,9 @@ def q_training_keep_list(spark, sf_dir):
 
 @query(
     "dedup_components",
-    """
-    WITH RECURSIVE e AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
-    ),
-    near AS (
-      SELECT a.vec_id AS a, b.vec_id AS b
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
-    ),
+    f"""
+    WITH RECURSIVE e AS ({_EMB_E_SQL}),
+    near AS ({_NEAR_PAIRS_SQL}),
     sym AS (SELECT a AS u, b AS w FROM near UNION SELECT b, a FROM near),
     reach(u, w) AS (
       SELECT u, w FROM sym

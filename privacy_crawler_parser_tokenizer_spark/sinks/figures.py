@@ -191,7 +191,10 @@ def save_verification_figure(scores, path: str, n_bins: int = 10) -> str:
         F.expr(f"percentile({col}, 0.75)").alias("q3"),
         F.max(col).alias("mx"),
     ).collect()[0]
-    lo, hi = float(stats.mn or 0), float(stats.mx or 1)
+    # explicit None checks: `or` would replace a legitimate 0.0 max
+    # (cosine scores can be <= 0) and corrupt the bin range
+    lo = 0.0 if stats.mn is None else float(stats.mn)
+    hi = 1.0 if stats.mx is None else float(stats.mx)
     span = (hi - lo) or 1.0
     binned = (
         scores.select(

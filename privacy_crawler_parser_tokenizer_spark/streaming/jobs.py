@@ -200,10 +200,12 @@ def _emit_bucket_pairs(key, pdf_iter: Iterator[pd.DataFrame],
             pd.concat(chunks, ignore_index=True)["doc_id"].unique().tolist()
         )
         for nid in new_ids:
+            if nid in seen:
+                continue  # re-delivery (revisit/replay): no duplicate
+                          # state entry, no re-emitted pairs
             for old in seen:
-                if old != nid:
-                    out_a.append(min(old, nid))
-                    out_b.append(max(old, nid))
+                out_a.append(min(old, nid))
+                out_b.append(max(old, nid))
             seen.append(int(nid))
         yield pd.DataFrame({"a": out_a, "b": out_b})
     state.update((seen,))
@@ -222,7 +224,7 @@ def lsh_candidates_stream(docs: DataFrame) -> DataFrame:
     (modulo the same cross-band duplicates batch dedups with distinct).
     State grows with distinct bucket members — production runs bound it
     with a TTL timeout, the trade every streaming dedup makes."""
-    from ..functions.text import minhash_col, shingles_col
+    from ..functions.text import N_BANDS, minhash_col, shingles_col
 
     sh = shingles_col(F.col("html")).alias("sh")
     base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), sh).filter(
@@ -237,7 +239,7 @@ def lsh_candidates_stream(docs: DataFrame) -> DataFrame:
                         F.lit(b).alias("band"),
                         minhash_col(F.col("sh"), b).alias("mh"),
                     )
-                    for b in range(4)
+                    for b in range(N_BANDS)
                 ]
             )
         ).alias("x"),

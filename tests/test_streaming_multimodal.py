@@ -252,6 +252,7 @@ def test_streaming_lsh_candidates_match_batch(spark, tmp_path):
     import pandas as pd
 
     from privacy_crawler_parser_tokenizer_spark.functions.text import (
+        N_BANDS,
         minhash_col,
         shingles_col,
     )
@@ -265,14 +266,15 @@ def test_streaming_lsh_candidates_match_batch(spark, tmp_path):
         ("5", "another unrelated sentence with distinct shingle content"),
     ]
     d = tmp_path / "lsh-docs"
-    spark.createDataFrame(
-        [
-            (doc_id, html,
-             (pd.Timestamp("2026-01-01") + pd.Timedelta(minutes=i)).to_pydatetime())
-            for i, (doc_id, html) in enumerate(rows)
-        ],
-        jobs.DOCS_STREAM_SCHEMA,
-    ).coalesce(1).write.mode("overwrite").parquet(str(d))
+    # ONE FILE PER DOC + maxFilesPerTrigger=1 => one microbatch per doc:
+    # the bucket state must round-trip across batches for any pair to
+    # surface (the "pair emitted when its LATER member arrives" path)
+    for i, (doc_id, html) in enumerate(rows):
+        spark.createDataFrame(
+            [(doc_id, html,
+              (pd.Timestamp("2026-01-01") + pd.Timedelta(minutes=i)).to_pydatetime())],
+            jobs.DOCS_STREAM_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(str(d))
 
     stream = jobs.lsh_candidates_stream(
         jobs.read_documents_stream(spark, str(d), max_files=1)
@@ -293,7 +295,7 @@ def test_streaming_lsh_candidates_match_batch(spark, tmp_path):
             F.explode(F.array(*[
                 F.struct(F.lit(b).alias("band"),
                          minhash_col(F.col("sh"), b).alias("mh"))
-                for b in range(4)
+                for b in range(N_BANDS)
             ])).alias("x"),
         )
         .select("doc_id", "x.band", "x.mh")
