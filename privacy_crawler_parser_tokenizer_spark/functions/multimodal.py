@@ -143,6 +143,43 @@ def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id string, media_ref string, fmt string, width int, height int, "
+    "scale double, content binary"
+)
+
+
+def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Bounded-resize plumbing: scale every image so its longer side is
+    <= ``max_side`` (aspect preserved, never upscaled).  The geometry —
+    decoded dims -> scale factor -> new dims — is real and tested; the
+    pixel resample itself is the stubbed codec step (the real path
+    swaps in ``PIL.Image.resize`` inside the same batch loop; the stub
+    emits a deterministic content-hash payload sized to the new
+    geometry so downstream byte-accounting stays exercised)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, fmt, c in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["fmt"], pdf["content"]
+            ):
+                raw = bytes(c) if c is not None else b""
+                w, h, _ch, _ok = _decode_one(raw)
+                scale = min(1.0, max_side / max(w, h, 1))
+                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                payload = (hashlib.sha256(raw).digest() * (
+                    (nw * nh) // 32 + 1))[: nw * nh]
+                rows.append((doc_id, ref, fmt, nw, nh, scale, payload))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_ref", "fmt", "width", "height",
+                         "scale", "content"],
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_offsets(n_bytes: F.Column, n_frames: int = 4) -> F.Column:
     """Video frame-sampling plumbing (STUB decode): deterministic evenly
     spaced byte offsets as native expressions — the real sampler would

@@ -315,3 +315,26 @@ def test_streaming_lsh_candidates_match_batch(spark, tmp_path):
     }
     assert got == want
     assert (1, 2) in got and (2, 4) in got       # real near-dups surfaced
+
+
+def test_resize_media_geometry(spark):
+    """Bounded resize: aspect preserved, never upscaled, payload sized
+    to the new geometry (the codec-independent plumbing contract)."""
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i} " * (i + 1)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    media = mm.synthesize_media(docs)
+    decoded = {r.media_ref: r for r in mm.decode_media(media).collect()}
+    resized = {r.media_ref: r for r in mm.resize_media(media, max_side=64).collect()}
+    assert set(resized) == set(decoded)
+    for ref, r in resized.items():
+        d = decoded[ref]
+        assert max(r.width, r.height) <= 64
+        assert 0 < r.scale <= 1.0
+        if max(d.width, d.height) <= 64:
+            assert (r.width, r.height) == (d.width, d.height)  # no upscale
+        # aspect preserved within integer rounding
+        assert abs(r.width - d.width * r.scale) <= 1
+        assert abs(r.height - d.height * r.scale) <= 1
+        assert len(r.content) == r.width * r.height
