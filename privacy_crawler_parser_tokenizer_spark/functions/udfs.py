@@ -238,7 +238,11 @@ def make_process_batch_fn(bc_gt_counts, bc_dictionary, max_depth: int):
         res = _process_rows(
             pdf["html"],
             [p == "landing" for p in pdf["phase"]],
-            [int(d) < max_depth for d in pdf["depth_count"]],
+            # null-safe like the unfused twin's F.col('depth_count') <
+            # max_depth expression (NULL comparison -> false), so the
+            # fused/unfused paths can't fork on a null depth (arrives as
+            # None or NaN depending on the Arrow column's nullability)
+            [bool(pd.notna(d)) and int(d) < max_depth for d in pdf["depth_count"]],
             bc_gt_counts.value,
             bc_dictionary.value,
         )

@@ -93,9 +93,13 @@ class HttpClient:
         # silently degrades to ''
         self._conns: dict[tuple[str, str, int], HTTPConnection] = {}
 
-    def _connection(self, scheme: str, host: str, port: int) -> HTTPConnection:
+    def _connection(self, scheme: str, host: str, port: int) -> tuple[HTTPConnection, bool]:
+        """Returns (connection, reused): ``reused`` is True when the socket
+        came from the keep-alive cache — only those may be retried once on
+        failure (a stale keep-alive is our artifact, not the server's)."""
         key = (scheme, host, port)
         conn = self._conns.pop(key, None)
+        reused = conn is not None
         if conn is None:
             while len(self._conns) >= self.max_connections:
                 self._drop(*next(iter(self._conns)))   # evict LRU
@@ -107,7 +111,7 @@ class HttpClient:
             conn.connect()                      # pays the 3s connect budget
             conn.sock.settimeout(self.read_timeout)  # then the 6s read budget
         self._conns[key] = conn                 # (re)insert as most-recent
-        return conn
+        return conn, reused
 
     def _drop(self, scheme: str, host: str, port: int) -> None:
         conn = self._conns.pop((scheme, host, port), None)
@@ -129,14 +133,21 @@ class HttpClient:
         path = parts.path or "/"
         if parts.query:
             path += "?" + parts.query
-        conn = self._connection(scheme, host, port)
+        conn, reused = self._connection(scheme, host, port)
         try:
             conn.request("GET", path, headers=REQUEST_HEADERS)
             resp = conn.getresponse()
         except Exception:
-            # stale keep-alive socket: retry once on a fresh connection
             self._drop(scheme, host, port)
-            conn = self._connection(scheme, host, port)
+            if not reused:
+                # fresh connection failed: propagate straight to the
+                # error->'' path, preserving the reference's
+                # single-attempt request() budget (utils.py:149) —
+                # retrying here would double the (3,6)s failure budget
+                # and issue a duplicate GET.
+                raise
+            # stale keep-alive socket: retry once on a fresh connection
+            conn, _ = self._connection(scheme, host, port)
             conn.request("GET", path, headers=REQUEST_HEADERS)
             resp = conn.getresponse()
         body = resp.read()

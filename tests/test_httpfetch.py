@@ -193,3 +193,39 @@ def test_frontier_crawl_over_live_http(spark, tmp_path, server):
     log = fc.crawl_log().collect()
     assert len(log) >= 1
     assert any(r.fetched for r in log)   # live fetches really happened
+
+
+def test_stale_keepalive_retried_once(server):
+    """A connection pulled from the keep-alive cache whose socket has
+    gone stale is retried exactly once on a fresh connection — the one
+    failure mode that is our artifact, not the server's."""
+    c = HttpClient()
+    assert c.get(f"{server}/p1.html") == PAGES["/p1.html"]
+    conn = next(iter(c._conns.values()))
+    conn.sock.close()  # simulate the server dropping the idle socket
+    assert c.get(f"{server}/p1.html") == PAGES["/p1.html"]  # retried fresh
+
+
+def test_fresh_connection_failure_not_retried(server):
+    """A request failure on a FRESH connection propagates straight to
+    the error->'' path with no second GET: the reference's request() is
+    single-attempt (utils.py:149), so retrying would double the (3,6)s
+    failure budget and duplicate the GET (ADVICE r02)."""
+    c = HttpClient()
+    calls = {"n": 0}
+    real = HttpClient._connection
+
+    def flaky(self, scheme, host, port):
+        conn, reused = real(self, scheme, host, port)
+        orig_request = conn.request
+
+        def counting_request(*a, **kw):
+            calls["n"] += 1
+            raise OSError("injected fresh-connection failure")
+
+        conn.request = counting_request
+        return conn, reused
+
+    c._connection = flaky.__get__(c)
+    assert c.get(f"{server}/p1.html") == ""
+    assert calls["n"] == 1  # exactly one attempt, no duplicate GET

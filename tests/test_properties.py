@@ -213,3 +213,43 @@ def test_components_match_union_find(spark, raw_edges, n_vertices):
         for r in connected_components(edges_df, verts_df).collect()
     }
     assert got == want
+
+
+# --- near-dup threshold margin: cross-engine membership stability ------------
+
+def test_neardup_threshold_margin():
+    """_neardup_pairs_gemm vs the DuckDB list_cosine_similarity oracle
+    can only fork on a pair whose true cosine sits within float
+    summation error (~1e-15 relative) of the 0.3 threshold.  Assert
+    every in-bucket pair of every gate dataset keeps >=1e-7 of margin
+    (measured: 3.2e-4 / 1.9e-4 / 8.6e-6 at sf0.001/0.01/0.1) so a
+    future dataset that lands on the boundary fails HERE, loudly,
+    before it flips a board hash."""
+    import collections
+    import os
+
+    import duckdb
+    import numpy as np
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        if not os.path.exists(path):
+            continue
+        rows = duckdb.sql(
+            f"SELECT vec_id, label, embedding FROM '{path}'"
+        ).fetchall()
+        by_label = collections.defaultdict(list)
+        for _vid, lab, emb in rows:
+            by_label[lab].append(np.asarray(emb, dtype=np.float64))
+        margin = 1.0
+        for vecs in by_label.values():
+            if len(vecs) < 2:
+                continue
+            m = np.array(vecs)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            iu = np.triu_indices(len(vecs), 1)
+            margin = min(margin, np.abs((m @ m.T)[iu] - 0.3).min())
+        assert margin >= 1e-7, f"{sf}: pair within {margin} of 0.3 boundary"
+        checked += 1
+    assert checked, "no testdata embeddings tables found"
