@@ -8,12 +8,14 @@ table:
     media(doc_id STRING, media_ref STRING, fmt STRING, content BINARY)
 
 Spark-side plumbing (schemas, partitioning, mapInPandas batch shape,
-UDF signatures) is real and tested; the *codec* step is stubbed because
-no image/audio libraries exist in this container: ``decode_media``
-tries Pillow and falls back to ``FakeCodec`` — a deterministic,
-clearly-marked stand-in that derives dimensions/features from the raw
-bytes so tests are reproducible.  Swapping in a real decoder touches
-only ``_decode_one``.
+UDF signatures) is real and tested.  The codec chain in ``_decode_one``
+is: Pillow if present (absent in this container) -> the pure-stdlib PNG
+codec (``core/png.py`` — REAL decode/resize/encode for PNG payloads,
+spec-implemented from RFC 2083) -> ``FakeCodec``, a deterministic,
+clearly-marked stand-in for the remaining formats (jpeg/webp/audio/
+video) that derives dimensions/features from a content hash so tests
+are reproducible.  Swapping in a full decoder touches only
+``_decode_one``.
 
 Scale notes: decode/feature stages are ``mapInPandas`` over the media
 table repartitioned by ``media_ref`` hash (bytes never shuffle twice);
@@ -29,6 +31,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..core import png
 
 MEDIA_SCHEMA = "doc_id string, media_ref string, fmt string, content binary"
 
@@ -67,7 +71,7 @@ class FakeCodec:
 
 
 def _decode_one(content: bytes) -> tuple[int, int, int, bool]:
-    try:  # real codec path, absent in this container
+    try:  # full codec path (any format), absent in this container
         import io
 
         from PIL import Image  # noqa: F401
@@ -75,6 +79,11 @@ def _decode_one(content: bytes) -> tuple[int, int, int, bool]:
         img = Image.open(io.BytesIO(content))
         return img.width, img.height, len(img.getbands()), True
     except Exception:
+        pass
+    try:  # REAL pure-stdlib PNG path (core/png.py): true dimensions
+        # and channel count from IHDR, no inflate needed for metadata
+        return (*png.png_meta(content), True)
+    except png.PngError:
         w, h, c = FakeCodec.decode(content)
         return w, h, c, False
 
@@ -150,13 +159,16 @@ RESIZED_SCHEMA = (
 
 
 def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
-    """Bounded-resize plumbing: scale every image so its longer side is
-    <= ``max_side`` (aspect preserved, never upscaled).  The geometry —
-    decoded dims -> scale factor -> new dims — is real and tested; the
-    pixel resample itself is the stubbed codec step (the real path
-    swaps in ``PIL.Image.resize`` inside the same batch loop; the stub
-    emits a deterministic content-hash payload sized to the new
-    geometry so downstream byte-accounting stays exercised)."""
+    """Bounded resize: scale every image so its longer side is <=
+    ``max_side`` (aspect preserved, never upscaled).
+
+    PNG payloads take the REAL path end to end: ``core/png.py`` decodes
+    the pixels, nearest-neighbor resamples them to the new geometry,
+    and re-encodes a valid PNG — output content round-trips through
+    ``decode_png``.  Non-PNG formats (no codec in this container) keep
+    the labeled stub: geometry is still computed from real/fake decoded
+    dims and the payload is a deterministic content-hash sized to the
+    new geometry so downstream byte-accounting stays exercised."""
 
     def run(batches):
         for pdf in batches:
@@ -165,11 +177,18 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
                 pdf["doc_id"], pdf["media_ref"], pdf["fmt"], pdf["content"]
             ):
                 raw = bytes(c) if c is not None else b""
-                w, h, _ch, _ok = _decode_one(raw)
-                scale = min(1.0, max_side / max(w, h, 1))
-                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
-                payload = (hashlib.sha256(raw).digest() * (
-                    (nw * nh) // 32 + 1))[: nw * nh]
+                try:
+                    px = png.decode_png(raw)
+                    h, w = px.shape[:2]
+                    scale = min(1.0, max_side / max(w, h, 1))
+                    nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                    payload = png.encode_png(png.resize_nearest(px, nw, nh))
+                except png.PngError:
+                    w, h, _ch, _ok = _decode_one(raw)
+                    scale = min(1.0, max_side / max(w, h, 1))
+                    nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                    payload = (hashlib.sha256(raw).digest() * (
+                        (nw * nh) // 32 + 1))[: nw * nh]
                 rows.append((doc_id, ref, fmt, nw, nh, scale, payload))
             yield pd.DataFrame(
                 rows,

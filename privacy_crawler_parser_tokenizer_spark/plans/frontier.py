@@ -63,7 +63,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..core.robots import robots_allows, url_path
+from ..core.robots import parse_robots, robots_allows, url_path
 from ..functions.text import (
     complete_link_col,
     ensure_scheme_col,
@@ -97,6 +97,7 @@ _STATE_SCHEMA = (
 _LINKS_SCHEMA = "seed_rank int, pos int, url string"
 _SEEN_SCHEMA = "href string, probes bigint, first_round int"
 _POLICY_SCHEMA = "text_hash string, seed_rank int, pos int, round int"
+_ROBOTS_SCHEMA = "host string, content string, fetched_round int"
 _LOG_SCHEMA = (
     "seed_rank int, domain string, url string, discovery_rank int, "
     "round int, sim double, fetched boolean, valid boolean, "
@@ -253,6 +254,55 @@ def make_robots_udf(spark: SparkSession, robots: dict[str, str],
     return robots_ok
 
 
+def make_robots_content_udf(user_agent: str = "*"):
+    """Gate on per-row robots.txt CONTENT (live-fetch mode): the robots
+    table rides a dimension join on host, and this UDF evaluates the
+    joined content against each url's path.  Policies are parse-cached
+    per Arrow batch keyed by content string, so a host's rules parse
+    once per batch, not once per URL.  NULL/'' content = allow-all
+    (RFC 9309 §2.3.1: unavailable robots.txt means full allow — also
+    the reference fetcher's error->'' contract)."""
+
+    @F.pandas_udf(T.BooleanType())
+    def robots_content_ok(content: pd.Series, url: pd.Series) -> pd.Series:
+        memo: dict[str, object] = {}
+
+        def ok(c, u):
+            if not c:
+                return True
+            pol = memo.get(c)
+            if pol is None:
+                pol = memo[c] = parse_robots(c, user_agent)
+            return pol.allows(url_path(u))
+
+        return pd.Series([ok(c, u) for c, u in zip(content, url)])
+
+    return robots_content_ok
+
+
+def fetch_robots_delta(new_hosts: DataFrame, fetch_fn, rnd: int) -> DataFrame:
+    """[NEW] live robots.txt fetch: one ``<scheme>://host/robots.txt``
+    GET per new host, inside mapInPandas so each Python worker's
+    keep-alive HttpClient (sources/httpfetch.py) serves it — the same
+    seam as the page fetch.  ``''`` (unreachable / absent / any error)
+    means allow-all.  ``new_hosts`` must carry (host, any_url); the
+    scheme is taken from the request url that introduced the host."""
+    out_schema = "host string, content string, fetched_round int"
+
+    def run(batches):
+        for pdf in batches:
+            contents = []
+            for h, u in zip(pdf["host"], pdf["any_url"]):
+                scheme = (u or "").split("://", 1)[0] if "://" in (u or "") else "http"
+                contents.append(fetch_fn(f"{scheme}://{h}/robots.txt") or "")
+            yield pd.DataFrame(
+                {"host": pdf["host"], "content": contents,
+                 "fetched_round": rnd}
+            )
+
+    return new_hosts.mapInPandas(run, schema=out_schema)
+
+
 def make_bloom_udf(spark: SparkSession, bloom: ShardedBloom):
     """One-shot broadcast + membership UDF (tests / standalone use).
     The crawler's round loop uses ``make_bloom_udf_from_bc`` with a
@@ -346,6 +396,7 @@ class FrontierCrawler:
                  seeds: list[str], ground_truth: str = "",
                  dictionary: frozenset = frozenset(),
                  robots: dict[str, str] | None = None,
+                 robots_fetch_fn=None,
                  config: FrontierConfig | None = None,
                  priority_expr=None):
         self.spark = spark
@@ -358,7 +409,23 @@ class FrontierCrawler:
         # priority_fn — supply both for parity tests.
         self.priority_expr = priority_expr or (lambda url: F.lit(0))
         self.fetcher = fetcher or FixtureFetcher(pages, self.cfg.fetch_partitions)
+        # robots gate: injected dict (parity mode, reference-compatible)
+        # OR live per-host fetch through the HTTP client seam ([NEW]):
+        # each round fetches robots.txt for hosts the warehouse `robots`
+        # table hasn't seen, persists them as a delta snapshot (exact
+        # resume), and gates via a dimension join on host.
+        if robots_fetch_fn is not None and robots:
+            raise ValueError(
+                "pass either robots= (injected rules) or "
+                "robots_fetch_fn= (live fetch), not both"
+            )
+        self.robots_fetch_fn = robots_fetch_fn
+        self.robots_live = robots_fetch_fn is not None
         self.robots_udf = make_robots_udf(spark, robots, self.cfg.user_agent)
+        self.robots_content_udf = make_robots_content_udf(self.cfg.user_agent)
+        self._delta_tables = DELTA_TABLES + (
+            ("robots",) if self.robots_live else ()
+        )
         bc_gt = broadcast_ground_truth(spark, ground_truth)
         bc_dict = broadcast_dictionary(spark, dictionary)
         self.process_page_udf = make_process_page_udf(bc_gt, bc_dict)
@@ -423,6 +490,47 @@ class FrontierCrawler:
         paths = [self.wh.snapshot_path(table, s) for s in snaps]
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def _apply_live_robots(self, requests: DataFrame, rnd: int) -> DataFrame:
+        """[NEW] live robots.txt stage (north rule: robots gating over a
+        real web).  Per round: anti-join this round's request hosts
+        against the warehouse ``robots`` table, fetch robots.txt for
+        the never-seen hosts through the same per-worker HTTP client as
+        the page fetch (one GET per host over the crawl's lifetime),
+        append the results as this round's delta snapshot (so resume
+        replays the cache instead of re-fetching), then gate via a
+        dimension join on host + the content UDF.
+
+        Scale shape: the join is hint-free — Catalyst/AQE broadcasts
+        the robots table while it is small and falls back to a shuffle
+        join once millions of hosts outgrow the broadcast threshold
+        (the cluster shape make_robots_udf's docstring promises).  The
+        per-round fetch delta is O(new hosts), not O(hosts)."""
+        cached = self._load_union("robots", _ROBOTS_SCHEMA, rnd - 1)
+        hosts = (
+            requests.filter(F.col("host") != "")
+            .groupBy("host")
+            .agg(F.min("url").alias("any_url"))
+        )
+        new_hosts = hosts.join(cached.select("host"), "host", "left_anti")
+        delta = fetch_robots_delta(new_hosts, self.robots_fetch_fn, rnd)
+        # the snapshot write materializes the fetch exactly once
+        self.wh.write(delta, "robots", rnd)
+        robots_now = self._load_union("robots", _ROBOTS_SCHEMA, rnd)
+        return (
+            requests.join(
+                robots_now.select(
+                    "host", F.col("content").alias("_robots_txt")
+                ),
+                "host",
+                "left",
+            )
+            .withColumn(
+                "robots_ok",
+                self.robots_content_udf(F.col("_robots_txt"), F.col("url")),
+            )
+            .drop("_robots_txt")
+        )
+
     # -- main loop --------------------------------------------------------
     def run(self) -> FrontierRun:
         last = self.wh.last_committed_round()
@@ -480,8 +588,14 @@ class FrontierCrawler:
             )
             .drop("_link_url")
             .withColumn("host", host_of_col(F.col("url")))
-            .withColumn("robots_ok", self.robots_udf(F.col("url")))
-        ).persist()  # granted AND blocked branches + state update read this
+        )
+        if self.robots_live:
+            requests = self._apply_live_robots(requests, rnd)
+        else:
+            requests = requests.withColumn(
+                "robots_ok", self.robots_udf(F.col("url"))
+            )
+        requests = requests.persist()  # granted AND blocked branches + state update read this
 
         # 2. politeness window over robots-allowed requests, granted by
         #    (priority, seed_rank) per host — the partitioned priority
@@ -836,11 +950,11 @@ class FrontierCrawler:
         )
 
         _t_wave = _time.monotonic()
-        wh.commit(rnd, list(STATE_TABLES + DELTA_TABLES))
+        wh.commit(rnd, list(STATE_TABLES + self._delta_tables))
         for t in STATE_TABLES:
             wh.expire_snapshots(t, keep=cfg.keep_state_snapshots)
         if cfg.compact_every and (rnd + 1) % cfg.compact_every == 0:
-            for t in DELTA_TABLES:  # bounded multi-path read fan-in
+            for t in self._delta_tables:  # bounded multi-path read fan-in
                 wh.compact(spark, t, rnd)
         processed.unpersist()
         cand2.unpersist()

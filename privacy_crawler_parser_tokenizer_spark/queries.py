@@ -525,15 +525,96 @@ def q_token_counts(spark, sf_dir):
     )
 
 
-@query("bpe_token_counts")
+def _bpe_oracle_sql(n_merges: int = 16) -> str:
+    """DuckDB oracle for the FULL iterative BPE pipeline, unrolled as
+    ``n_merges`` chained CTE stages (the merge count is a fixed query
+    parameter, so training is finitely expressible in SQL).
+
+    Symbol sequences ride as strings with every symbol wrapped in
+    US separators (``\\x1f a \\x1f  \\x1f b \\x1f`` ...): SQL
+    ``replace()`` scans left-to-right without rescanning replacements,
+    and the per-symbol wrapping keeps adjacent matches from sharing
+    boundary chars — together that reproduces ``merge_symbols``'s
+    non-overlapping left-to-right semantics exactly (a/a/a/a ->
+    aa/aa, verified in tests).  Each stage: pair counts from adjacent
+    wrapped symbols -> (count DESC, pair ASC) argmax -> one-row cross
+    join applying the merge.  Encoding reuses the SAME chain (rank-
+    order single pass == the kernel's lowest-rank-first loop: a merge
+    learned at rank r can only create pairs involving its new symbol,
+    and any merge over that symbol was learned later, so finished
+    ranks never re-fire).  Separator safety: no testdata document
+    contains \\x1f (checked when this oracle was written); a future
+    dataset that does will fail the board loudly, not silently."""
+    s = "\x1f"
+    ws = "[ \\t\\n\\x0b\\f\\r]+"      # Java/RE2 \s — the Spark trainer's split class
+    parts = [
+        f"""
+    WITH docw AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '{ws}')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    wf AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM docw GROUP BY w),
+    t0 AS MATERIALIZED (
+      SELECT w,
+             '{s}' || array_to_string(
+                 list_append(string_split(w, ''), '</w>'), '{s}{s}') || '{s}'
+               AS seq,
+             n
+      FROM wf
+    )"""
+    ]
+    for r in range(n_merges):
+        parts.append(f"""
+    c{r} AS (
+      SELECT unnest(list_transform(
+               range(1, len(syms)),
+               i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS pr, n
+      FROM (SELECT regexp_extract_all(seq, '[^{s}]+') AS syms, n FROM t{r})
+    ),
+    p{r} AS (
+      SELECT pr.a AS a, pr.b AS b
+      FROM c{r}
+      GROUP BY 1, 2
+      ORDER BY sum(n) DESC, a ASC, b ASC
+      LIMIT 1
+    ),
+    t{r + 1} AS MATERIALIZED (
+      SELECT w,
+             replace(seq, '{s}' || a || '{s}{s}' || b || '{s}',
+                          '{s}' || a || b || '{s}') AS seq,
+             n
+      FROM t{r}, p{r}
+    )""")
+    parts.append(f"""
+    enc AS (
+      SELECT w,
+             CAST(len(regexp_extract_all(seq, '[^{s}]+')) AS BIGINT) AS k
+      FROM t{n_merges}
+    ),
+    agg AS (
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bpe_tokens
+      FROM docw JOIN enc USING (w) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id)""")
+    return ",".join(parts)
+
+
+@query("bpe_token_counts", _bpe_oracle_sql())
 def q_bpe_token_counts(spark, sf_dir):
     """Real subword tokenization: train 16 BPE merges over the corpus
     with the distributed trainer (iterative pair-count aggregation over
     the word-frequency table — cost O(vocab) per merge, not O(corpus)),
     then encode every document with the learned merges and count
-    tokens.  No SQL oracle (the trainer is iterative); exact parity of
-    the distributed trainer/encoder vs the sequential canon is pinned
-    in tests/test_bpe.py — the frontier_crawl evidence pattern."""
+    tokens.  Oracle: the training loop unrolled as 16 chained CTE
+    stages (``_bpe_oracle_sql``) — closing the last analytical
+    ``no_oracle`` board entry; exact parity of the distributed
+    trainer/encoder vs the sequential canon stays pinned in
+    tests/test_bpe.py."""
     from .operators.bpe import make_bpe_encode_udf, train_bpe_distributed
 
     docs = _t(spark, sf_dir, "documents")

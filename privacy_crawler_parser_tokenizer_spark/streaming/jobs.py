@@ -189,29 +189,70 @@ LSH_STATE_SCHEMA = StructType(
 )
 
 
-def _emit_bucket_pairs(key, pdf_iter: Iterator[pd.DataFrame],
-                       state: GroupState) -> Iterator[pd.DataFrame]:
-    (seen,) = state.get if state.exists else ([],)
-    seen = list(seen)
-    out_a, out_b = [], []
-    chunks = list(pdf_iter)
-    if chunks:
-        new_ids = sorted(
-            pd.concat(chunks, ignore_index=True)["doc_id"].unique().tolist()
-        )
-        for nid in new_ids:
-            if nid in seen:
-                continue  # re-delivery (revisit/replay): no duplicate
-                          # state entry, no re-emitted pairs
-            for old in seen:
-                out_a.append(min(old, nid))
-                out_b.append(max(old, nid))
-            seen.append(int(nid))
-        yield pd.DataFrame({"a": out_a, "b": out_b})
-    state.update((seen,))
+_DURATION_UNITS_MS = {
+    "millisecond": 1, "milliseconds": 1, "ms": 1,
+    "second": 1000, "seconds": 1000, "s": 1000,
+    "minute": 60_000, "minutes": 60_000, "min": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000, "h": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000, "d": 86_400_000,
+}
 
 
-def lsh_candidates_stream(docs: DataFrame) -> DataFrame:
+def _duration_ms(ttl: str | int) -> int:
+    """'30 minutes' / '1 millisecond' / 1500 -> milliseconds (PySpark's
+    GroupState.setTimeoutDuration only takes an int)."""
+    if isinstance(ttl, int):
+        return ttl
+    value, _, unit = ttl.strip().partition(" ")
+    return int(value) * _DURATION_UNITS_MS[unit.strip().lower()]
+
+
+def _make_emit_bucket_pairs(ttl: str | int | None):
+    """Build the per-bucket stateful function.  With ``ttl`` set, a
+    bucket idle longer than the TTL is evicted (``state.remove()``) on
+    the next micro-batch — the bounded-state mode; ``ttl=None`` keeps
+    buckets forever (exact, unbounded)."""
+
+    def emit(key, pdf_iter: Iterator[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+        if ttl is not None and state.hasTimedOut:
+            # bucket saw no arrivals for a full TTL: drop its member
+            # list.  A pair whose two docs arrive farther apart than
+            # the TTL is missed from here on — the trade that keeps
+            # state bounded at stream scale.
+            state.remove()
+            return
+        (seen,) = state.get if state.exists else ([],)
+        seen = list(seen)
+        out_a, out_b = [], []
+        chunks = list(pdf_iter)
+        if chunks:
+            new_ids = sorted(
+                pd.concat(chunks, ignore_index=True)["doc_id"].unique().tolist()
+            )
+            for nid in new_ids:
+                if nid in seen:
+                    continue  # re-delivery (revisit/replay): no duplicate
+                              # state entry, no re-emitted pairs
+                for old in seen:
+                    out_a.append(min(old, nid))
+                    out_b.append(max(old, nid))
+                seen.append(int(nid))
+            yield pd.DataFrame({"a": out_a, "b": out_b})
+        state.update((seen,))
+        if ttl_ms is not None:
+            # sliding idle-TTL: each arrival re-arms the eviction clock
+            state.setTimeoutDuration(ttl_ms)
+
+    ttl_ms = None if ttl is None else _duration_ms(ttl)
+    return emit
+
+
+# backward-compatible name for the exact/unbounded variant
+_emit_bucket_pairs = _make_emit_bucket_pairs(None)
+
+
+def lsh_candidates_stream(docs: DataFrame, ttl: str | None = None) -> DataFrame:
     """ONLINE near-dup detection: MinHash-band LSH over a document
     stream.  Band signatures are computed with the same native
     expressions as the batch query; each (band, mh) bucket keeps the
@@ -222,8 +263,24 @@ def lsh_candidates_stream(docs: DataFrame) -> DataFrame:
     exactly when the LATER of its two docs arrives, so the union of
     emitted pairs over the run == the batch lsh_candidate_pairs set
     (modulo the same cross-band duplicates batch dedups with distinct).
-    State grows with distinct bucket members — production runs bound it
-    with a TTL timeout, the trade every streaming dedup makes."""
+
+    State: ``ttl=None`` keeps every bucket forever (exact, unbounded —
+    fine for bounded replays, an OOM at 100-TB stream scale).  Pass a
+    duration (e.g. ``'30 minutes'``) to bound state with a sliding
+    idle-TTL (``ProcessingTimeTimeout``): a bucket with no arrivals for
+    a full TTL is evicted, so state holds only buckets active within
+    the last TTL window.  Pairs whose members arrive within the TTL
+    still match batch exactly; a pair split farther apart than the TTL
+    is missed — the same stated trade as
+    ``exact_dedup_stream``'s ``dropDuplicatesWithinWatermark``.
+
+    Engine quirk (Spark 4.1, verified in tests): with
+    ``ProcessingTimeTimeout`` registered, ``Trigger.AvailableNow`` runs
+    never terminate — the engine keeps scheduling empty micro-batches
+    after the source drains.  Finite runs should poll for their
+    completion condition and ``stop()`` explicitly
+    (tests/test_streaming_multimodal.py::_poll_then_stop); production
+    streams run continuous triggers and are unaffected."""
     from ..functions.text import N_BANDS, minhash_col, shingles_col
 
     sh = shingles_col(F.col("html")).alias("sh")
@@ -245,11 +302,15 @@ def lsh_candidates_stream(docs: DataFrame) -> DataFrame:
         ).alias("x"),
     ).select("doc_id", F.col("x.band").alias("band"), F.col("x.mh").alias("mh"))
     return bands.groupBy("band", "mh").applyInPandasWithState(
-        _emit_bucket_pairs,
+        _make_emit_bucket_pairs(ttl),
         outputStructType=LSH_PAIR_SCHEMA,
         stateStructType=LSH_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

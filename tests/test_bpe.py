@@ -73,3 +73,37 @@ def test_distributed_trainer_matches_sequential(spark):
         "doc_id", enc(F.col("text")).alias("toks")).collect()}
     for i, t in enumerate(CORPUS):
         assert rows[i] == encode_text(t, want), i
+
+
+def test_duckdb_oracle_matches_kernel_on_adversarial_corpus():
+    """The 16-stage CTE oracle (_bpe_oracle_sql) == the sequential
+    kernel on a corpus built to stress the string-replace merge
+    semantics: runs of repeated symbols (aaaa must merge to aa/aa, not
+    aa/a/a), merges that chain into longer symbols, and empty docs."""
+    import duckdb
+
+    from privacy_crawler_parser_tokenizer_spark.core.bpe import (
+        encode_text,
+        train_bpe,
+        word_freqs,
+    )
+    from privacy_crawler_parser_tokenizer_spark.queries import _bpe_oracle_sql
+
+    corpus = [
+        "aaaa aaaa aa aaaaaaa",          # repeated-symbol runs
+        "aaab aaba abaa baaa",           # overlap-adjacent merges
+        "the the the them theme",        # chained merges t+h, th+e
+        "",                              # empty doc -> 0 tokens
+        "   ",                           # whitespace-only -> 0 tokens
+        "Mixed CASE mixed case MIXED",   # lowercasing both sides
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(corpus))
+    )
+    oracle = dict(con.execute(_bpe_oracle_sql()).fetchall())
+
+    merges = train_bpe(word_freqs(corpus), 16)
+    for i, t in enumerate(corpus):
+        assert oracle[i] == len(encode_text(t, merges)), (i, t)

@@ -15,7 +15,10 @@ from privacy_crawler_parser_tokenizer_spark.sources.httpfetch import (
     HttpClient,
 )
 
+ROBOTS_TXT = "User-agent: *\nDisallow: /p2.html\n"
+
 PAGES = {
+    "/robots.txt": ROBOTS_TXT,
     "/": (
         "<html><body>"
         '<a href="/p1.html">privacy policy</a> '
@@ -229,3 +232,80 @@ def test_fresh_connection_failure_not_retried(server):
     c._connection = flaky.__get__(c)
     assert c.get(f"{server}/p1.html") == ""
     assert calls["n"] == 1  # exactly one attempt, no duplicate GET
+
+
+def test_live_robots_parity_with_injected(spark, tmp_path, server):
+    """[NEW] live robots.txt stage: a crawl that FETCHES robots.txt per
+    host over HTTP (robots_fetch_fn=http_get) equals the injected-dict
+    crawl given the same rules — crawl log, seen set, documents — and
+    the warehouse `robots` table caches one fetch per host for the
+    whole run."""
+    from privacy_crawler_parser_tokenizer_spark.plans.frontier import (
+        FrontierConfig,
+        FrontierCrawler,
+    )
+    from privacy_crawler_parser_tokenizer_spark.sources.httpfetch import (
+        http_get,
+        make_http_fetcher,
+    )
+
+    host = server.split("//", 1)[1]
+    common = dict(
+        seeds=[host],
+        ground_truth="privacy policy one",
+        dictionary=frozenset("privacy policy one data the a is of".split()),
+        config=FrontierConfig(threshold=0.0, max_depth=2,
+                              bloom_capacity=1 << 12),
+    )
+
+    live = FrontierCrawler(
+        spark, str(tmp_path / "wh-robots-live"),
+        fetcher=make_http_fetcher(fetch_partitions=2),
+        robots_fetch_fn=http_get, **common,
+    )
+    live.run()
+    injected = FrontierCrawler(
+        spark, str(tmp_path / "wh-robots-inj"),
+        fetcher=make_http_fetcher(fetch_partitions=2),
+        robots={host: ROBOTS_TXT}, **common,
+    )
+    injected.run()
+
+    def log_rows(fc):
+        return sorted(
+            (r.seed_rank, r.url, r.discovery_rank, r.round, r.fetched,
+             r.valid, r.duplicate)
+            for r in fc.crawl_log().collect()
+        )
+
+    def seen_rows(fc):
+        return sorted(
+            (r.href, r.revisits) for r in fc.seen().collect()
+        )
+
+    assert log_rows(live) == log_rows(injected)
+    assert seen_rows(live) == seen_rows(injected)
+    live_docs = sorted(r.url for r in live.documents().collect())
+    inj_docs = sorted(r.url for r in injected.documents().collect())
+    assert live_docs == inj_docs
+
+    # the Disallow actually bit: p2 was discovered but never fetched
+    log = live.crawl_log().collect()
+    p2 = [r for r in log if r.url.endswith("/p2.html")]
+    assert p2 and all(not r.fetched for r in p2)
+    assert any(r.url.endswith("/p1.html") and r.fetched for r in log)
+
+    # robots cache: exactly one row for the host, fetched in round 0,
+    # never re-fetched in later rounds' deltas
+    robots_rows = (
+        live.wh.read(spark, "robots").collect()
+        if live.wh.read(spark, "robots") is not None else []
+    )
+    all_rows = []
+    for s in live.wh.snapshots("robots"):
+        all_rows += spark.read.parquet(
+            live.wh.snapshot_path("robots", s)
+        ).collect()
+    by_host = [r for r in all_rows if r.host == host]
+    assert len(by_host) == 1 and by_host[0].fetched_round == 0
+    assert by_host[0].content == ROBOTS_TXT

@@ -338,3 +338,111 @@ def test_resize_media_geometry(spark):
         assert abs(r.width - d.width * r.scale) <= 1
         assert abs(r.height - d.height * r.scale) <= 1
         assert len(r.content) == r.width * r.height
+
+
+def _write_doc_files(spark, d, groups):
+    """One parquet file per group => with max_files=1, one microbatch
+    per group."""
+    import pandas as pd
+
+    i = 0
+    for rows in groups:
+        batch = [
+            (doc_id, html,
+             (pd.Timestamp("2026-01-01") + pd.Timedelta(minutes=i + j)).to_pydatetime())
+            for j, (doc_id, html) in enumerate(rows)
+        ]
+        i += len(rows)
+        spark.createDataFrame(batch, jobs.DOCS_STREAM_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(str(d))
+
+
+def _poll_then_stop(q, pred, timeout_s=150):
+    """Spark 4.1 quirk: availableNow + ProcessingTimeTimeout never
+    terminates — the engine keeps scheduling empty micro-batches as
+    long as the timeout conf is registered (verified: batchIds climb
+    with numInputRows=0 after the source is exhausted, even with zero
+    state rows left).  Finite test runs therefore poll for the expected
+    condition and stop the query explicitly; production streams run
+    continuous triggers and never terminate anyway."""
+    import time
+
+    t0 = time.monotonic()
+    ok = False
+    while time.monotonic() - t0 < timeout_s:
+        try:
+            if pred(q):
+                ok = True
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    q.stop()
+    assert ok, "stream never reached the expected condition"
+
+
+def test_streaming_lsh_ttl_within_window_matches_batch(spark, tmp_path):
+    """With a TTL far longer than the run, the TTL variant is
+    behaviourally identical to the exact mode: every cross-batch pair
+    of the batch candidate set is emitted."""
+    base = "we collect and share your personal data with trusted partners"
+    d = tmp_path / "lsh-ttl-long"
+    _write_doc_files(spark, d, [
+        [("1", base)],
+        [("2", base + " today")],
+        [("3", base + " today")],
+    ])
+    stream = jobs.lsh_candidates_stream(
+        jobs.read_documents_stream(spark, str(d), max_files=1), ttl="1 hour"
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory").queryName("lsh_ttl_long")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    want = {(1, 2), (1, 3), (2, 3)}
+
+    def done(q):
+        got = {(r.a, r.b) for r in spark.table("lsh_ttl_long").collect()}
+        return want <= got
+
+    _poll_then_stop(q, done)
+    got = {(r.a, r.b) for r in spark.table("lsh_ttl_long").collect()}
+    assert want <= got                   # cross-batch pairs intact
+
+
+def test_streaming_lsh_ttl_evicts_stale_buckets(spark, tmp_path):
+    """TTL=1ms: every bucket is evicted between micro-batches (batch
+    gaps >> 1ms), so (a) a pair split across an idle gap is missed —
+    the stated bounded-state trade, (b) within-batch pairs still
+    surface, and (c) the state store drains to ZERO rows once all
+    buckets idle out (bounded state, observed via stateOperators)."""
+    base = "we collect and share your personal data with trusted partners"
+    other = "completely different text about cookies and beacons here"
+    d = tmp_path / "lsh-ttl-short"
+    _write_doc_files(spark, d, [
+        [("1", base), ("2", base + " today")],   # within-batch pair (1,2)
+        [("3", other)],                          # unrelated batch; bucket
+                                                 # of 1/2 idles past TTL
+        [("4", base + " today")],                # near-dup of 1/2, too late
+    ])
+    stream = jobs.lsh_candidates_stream(
+        jobs.read_documents_stream(spark, str(d), max_files=1),
+        ttl="1 millisecond",
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("lsh_ttl_short")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+
+    def drained(q):
+        lp = q.lastProgress
+        if not lp or not lp["stateOperators"]:
+            return False
+        # all 3 files consumed and every bucket evicted
+        return lp["batchId"] >= 3 and lp["stateOperators"][0]["numRowsTotal"] == 0
+
+    _poll_then_stop(q, drained)
+    got = {(r.a, r.b) for r in spark.table("lsh_ttl_short").collect()}
+    assert (1, 2) in got                      # same-batch pair: unaffected
+    assert (1, 4) not in got and (2, 4) not in got  # evicted before 4 arrived
