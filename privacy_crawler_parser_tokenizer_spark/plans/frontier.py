@@ -703,11 +703,21 @@ class FrontierCrawler:
         # commit latency — the dominant per-round fixed cost at small
         # rounds (data volume dominates at production rounds).
         pending: list[tuple[str, DataFrame]] = []
-        n_new_links = 0
+        links_obs: Observation | None = None
         if n_cand > 0:
-            n_new_links = links_delta.count()
-            if n_new_links > 0:
-                pending.append(("links", links_delta))
+            # the new-link count rides an Observation on the snapshot
+            # write itself (read after the wave) — the former standalone
+            # links_delta.count() job per candidate round is gone.  A
+            # candidate round whose links all dedupe away now writes an
+            # empty snapshot instead of skipping it: same job count as
+            # the old counting job, and compaction folds the empties.
+            links_obs = Observation()
+            pending.append((
+                "links",
+                links_delta.observe(
+                    links_obs, F.count(F.lit(1)).alias("n")
+                ),
+            ))
             # probe-count delta: reader aggregates sum(probes)/min(first_round)
             seen_delta = (
                 cand2.groupBy("href")
@@ -941,6 +951,9 @@ class FrontierCrawler:
 
         n_fetched = n_granted  # every granted request issues one fetch
         n_policies = int(docs_obs.get["n"])
+        n_new_links = (
+            int(links_obs.get["n"] or 0) if links_obs is not None else 0
+        )
         self._next_active = int(state_obs.get["n_active"] or 0)
         # one driver-local pyarrow file — a Spark job per single-row
         # metrics write is pure per-round fixed cost

@@ -14,7 +14,9 @@ external data.
 
 from __future__ import annotations
 
+import functools
 import random
+import re
 
 # vocabulary pools ----------------------------------------------------------
 
@@ -115,63 +117,137 @@ def gen_web(
     (seen-set suppression), hot shared host, duplicate policy texts,
     non-English policies, landing failures, second-hop expansion pages.
     """
-    rng = random.Random(seed)
-    pages: dict[str, str] = {}
     robots: dict[str, str] = {}
     seeds = [f"site{i:04d}.com" for i in range(n_domains)]
-    shared_policy_rng = random.Random(seed * 31)
-    shared_policy = _policy_html(shared_policy_rng, [])
+    shared_policy = _shared_policy(seed)
 
-    for i, domain in enumerate(seeds):
-        base = f"http://{domain}"
-        drng = random.Random(seed * 1_000_003 + i)
-
-        if drng.random() < fail_rate:
-            pages[base] = ""  # landing fetch failure
-            continue
-
-        hot = (i % hot_host_every == 0)
-        # raw hrefs are mostly domain-unique so most domains crawl; the
-        # shared suffix-less '/privacy' href (every 11th domain) exercises
-        # the reference's GLOBAL raw-href seen set (first domain wins,
-        # later ones get it suppressed — crawler.py:110-115)
-        main_href = "/privacy" if i % 11 == 10 else f"/privacy-{i}#top"
-        landing_links = [
-            main_href,                       # relative w/ fragment
-            f"privacy-center-{i}",           # no leading slash
-            "javascript:openPrivacy()",      # junk (shared raw href)
-            "x",                             # junk (len<3)
-            "mailto:privacy@" + domain,      # junk
-        ]
-        if hot:
-            landing_links.append("//cdn.shared-host.com/privacy-shared")
-        pages[base] = _filler_html(drng, landing_links)
-
-        main_path = main_href.split("#", 1)[0]
-        # second hop from the policy page
-        deep = f"/privacy/details-{i}"
-        policy_links = [deep, main_href]  # repeat href: seen-set bump
-        if i % dup_policy_every == 3:
-            pages[f"{base}{main_path}"] = shared_policy  # cross-domain dup text
-        elif i % non_english_every == 4:
-            pages[f"{base}{main_path}"] = _filler_html(drng, policy_links, english=False)
-        else:
-            pages[f"{base}{main_path}"] = _policy_html(drng, policy_links)
-
-        pages[f"{base}/privacy-center-{i}"] = (
-            _policy_html(drng, []) if drng.random() < 0.5
-            else _filler_html(drng, [])
+    pages: dict[str, str] = {}
+    for i in range(n_domains):
+        dp, rob = _domain_pages(
+            i, seed, fail_rate, hot_host_every, dup_policy_every,
+            non_english_every, shared_policy,
         )
-        if drng.random() < 0.85:
-            pages[f"{base}{deep}"] = _policy_html(drng, [])
-        # else: dangling link -> fetch failure path
-
-        if i % 6 == 2:
-            robots[domain] = "User-agent: *\nDisallow: /privacy/details-\n"
+        pages.update(dp)
+        if rob is not None:
+            robots[seeds[i]] = rob
 
     # hot shared host content
     pages["http://cdn.shared-host.com/privacy-shared"] = shared_policy
     return pages, seeds, robots
+
+
+def _shared_policy(seed: int) -> str:
+    return _policy_html(random.Random(seed * 31), [])
+
+
+def _domain_pages(
+    i: int, seed: int, fail_rate: float, hot_host_every: int,
+    dup_policy_every: int, non_english_every: int, shared_policy: str,
+) -> tuple[dict[str, str], str | None]:
+    """One domain's pages (and robots.txt, or None) — a PURE function of
+    (i, seed, knobs): each domain has its own RNG stream, so pages can
+    be regenerated lazily per fetch at any scale instead of
+    materializing the whole web in driver memory (``gen_web_fn``)."""
+    domain = f"site{i:04d}.com"
+    base = f"http://{domain}"
+    pages: dict[str, str] = {}
+    drng = random.Random(seed * 1_000_003 + i)
+
+    if drng.random() < fail_rate:
+        pages[base] = ""  # landing fetch failure
+        return pages, None
+
+    hot = (i % hot_host_every == 0)
+    # raw hrefs are mostly domain-unique so most domains crawl; the
+    # shared suffix-less '/privacy' href (every 11th domain) exercises
+    # the reference's GLOBAL raw-href seen set (first domain wins,
+    # later ones get it suppressed — crawler.py:110-115)
+    main_href = "/privacy" if i % 11 == 10 else f"/privacy-{i}#top"
+    landing_links = [
+        main_href,                       # relative w/ fragment
+        f"privacy-center-{i}",           # no leading slash
+        "javascript:openPrivacy()",      # junk (shared raw href)
+        "x",                             # junk (len<3)
+        "mailto:privacy@" + domain,      # junk
+    ]
+    if hot:
+        landing_links.append("//cdn.shared-host.com/privacy-shared")
+    pages[base] = _filler_html(drng, landing_links)
+
+    main_path = main_href.split("#", 1)[0]
+    # second hop from the policy page
+    deep = f"/privacy/details-{i}"
+    policy_links = [deep, main_href]  # repeat href: seen-set bump
+    if i % dup_policy_every == 3:
+        pages[f"{base}{main_path}"] = shared_policy  # cross-domain dup text
+    elif i % non_english_every == 4:
+        pages[f"{base}{main_path}"] = _filler_html(drng, policy_links, english=False)
+    else:
+        pages[f"{base}{main_path}"] = _policy_html(drng, policy_links)
+
+    pages[f"{base}/privacy-center-{i}"] = (
+        _policy_html(drng, []) if drng.random() < 0.5
+        else _filler_html(drng, [])
+    )
+    if drng.random() < 0.85:
+        pages[f"{base}{deep}"] = _policy_html(drng, [])
+    # else: dangling link -> fetch failure path
+
+    rob = (
+        "User-agent: *\nDisallow: /privacy/details-\n" if i % 6 == 2 else None
+    )
+    return pages, rob
+
+
+_SITE_RE = re.compile(r"^http://site(\d{4,})\.com(?:/|$)")
+
+
+def gen_web_fn(
+    n_domains: int,
+    seed: int = 42,
+    fail_rate: float = 0.1,
+    hot_host_every: int = 5,
+    dup_policy_every: int = 7,
+    non_english_every: int = 9,
+    cache_size: int = 4096,
+):
+    """The 10^6+-URL twin of ``gen_web``: returns ``(fetch_fn, seeds,
+    robots)`` where ``fetch_fn(url) -> html`` REGENERATES the owning
+    domain's pages on demand (pure per-domain RNG streams) instead of
+    materializing the whole web as a driver-side dict.  A 10^6-domain
+    web as a broadcast dict is multi-GB pickled into EVERY Python
+    worker; this closure ships as a few KB and costs ~100us of RNG per
+    domain, LRU-cached per worker.  Byte-identical to ``gen_web`` on
+    every URL (parity-tested)."""
+    shared_policy = _shared_policy(seed)
+    seeds = [f"site{i:04d}.com" for i in range(n_domains)]
+    robots = {
+        f"site{i:04d}.com": "User-agent: *\nDisallow: /privacy/details-\n"
+        for i in range(n_domains)
+        if i % 6 == 2
+        # failed-landing domains never reach the robots line in gen_web
+        and random.Random(seed * 1_000_003 + i).random() >= fail_rate
+    }
+
+    @functools.lru_cache(maxsize=cache_size)
+    def domain_pages(i: int) -> dict[str, str]:
+        return _domain_pages(
+            i, seed, fail_rate, hot_host_every, dup_policy_every,
+            non_english_every, shared_policy,
+        )[0]
+
+    def fetch(url: str) -> str:
+        if url == "http://cdn.shared-host.com/privacy-shared":
+            return shared_policy
+        m = _SITE_RE.match(url)
+        if not m:
+            return ""
+        i = int(m.group(1))
+        if i >= n_domains:
+            return ""
+        return domain_pages(i).get(url, "")
+
+    return fetch, seeds, robots
 
 
 # span-document fixtures (FIXTURES.md §1) -----------------------------------

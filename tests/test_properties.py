@@ -253,3 +253,94 @@ def test_neardup_threshold_margin():
         assert margin >= 1e-7, f"{sf}: pair within {margin} of 0.3 boundary"
         checked += 1
     assert checked, "no testdata embeddings tables found"
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                max_size=60),
+       st.integers(41, 60))
+def test_components_star_matches_union_find(spark, raw_edges, n_vertices):
+    """The large-star/small-star variant equals the union-find canon on
+    ANY random graph — same contract as the propagate default."""
+    from privacy_crawler_parser_tokenizer_spark.operators.components import (
+        components_seq,
+        connected_components,
+    )
+
+    vertices = list(range(n_vertices))
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    want = components_seq(edges, vertices)
+
+    edges_df = spark.createDataFrame(edges or [(0, 0)], "a int, b int")
+    if not edges:
+        edges_df = edges_df.filter("a <> a")
+    verts_df = spark.createDataFrame([(v,) for v in vertices], "v int")
+    got = {
+        r.v: r.rep
+        for r in connected_components(
+            edges_df, verts_df, algorithm="star"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_components_star_handles_high_diameter_in_log_rounds(spark):
+    """A 256-vertex path (diameter 255) would need 255 propagation
+    rounds — far past max_iters=40.  Star contraction collapses it in
+    O(log d) rounds and the finishing propagation needs only a
+    handful; plain propagate mode raises instead of silently
+    mislabeling (the documented guard)."""
+    import pytest as _pytest
+
+    from privacy_crawler_parser_tokenizer_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 256
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a int, b int"
+    )
+    verts = spark.createDataFrame([(v,) for v in range(n)], "v int")
+
+    stats = {}
+    labels = {
+        r.v: r.rep
+        for r in connected_components(
+            edges, verts, max_iters=40, algorithm="star", stats=stats
+        ).collect()
+    }
+    assert labels == {v: 0 for v in range(n)}
+    assert stats["star_rounds"] <= 16          # O(log 255), not O(255)
+    assert stats["propagate_rounds"] <= 5      # contracted graph is flat
+
+    with _pytest.raises(RuntimeError, match="star"):
+        connected_components(edges, verts, max_iters=40,
+                             algorithm="propagate").collect()
+
+
+def test_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches per-round truncation to reliable
+    checkpoints (executor-loss-safe on clusters): same answer, and the
+    checkpoint files actually land under the given directory."""
+    import os
+
+    from privacy_crawler_parser_tokenizer_spark.operators.components import (
+        connected_components,
+    )
+
+    ckpt = str(tmp_path / "cc-ckpt")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "a int, b int"
+    )
+    verts = spark.createDataFrame([(v,) for v in range(8)], "v int")
+    got = {
+        r.v: r.rep
+        for r in connected_components(
+            edges, verts, checkpoint_dir=ckpt, algorithm="star"
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
+    found = [
+        f for _root, _dirs, files in os.walk(ckpt) for f in files
+    ]
+    assert found, "no reliable checkpoint files written"

@@ -47,3 +47,21 @@ def test_csv_round_trip_multiline(spark, tmp_path):
     got = {tuple(r) for r in back.collect()}
     assert got == want
     assert docs.filter(F.col("text").contains("\n")).count() > 0
+
+
+def test_gen_web_fn_matches_gen_web():
+    """The lazy per-URL regenerator (the 10^6-domain fetch path, no
+    driver-side dict) is byte-identical to gen_web on every URL, seeds
+    list, and robots map; unknown URLs fetch as ''."""
+    from privacy_crawler_parser_tokenizer_spark.sources.synth import (
+        gen_web,
+        gen_web_fn,
+    )
+
+    pages, seeds, robots = gen_web(n_domains=120, seed=42)
+    fetch, seeds2, robots2 = gen_web_fn(120, seed=42)
+    assert seeds == seeds2
+    assert robots == robots2
+    assert all(fetch(u) == h for u, h in pages.items())
+    assert fetch("http://site9999.com") == ""      # beyond n_domains
+    assert fetch("http://elsewhere.example/") == ""

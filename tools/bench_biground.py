@@ -6,14 +6,20 @@ time scales with the round's data volume (granted fetches), not with
 round count.
 
 Method: same engine config at n_domains in SCALE_BIGROUND_DOMAINS
-(default "25000,100000"); every round's (granted, seconds) is recorded
-from the crawler's round trace.  If per-round time were dominated by
-fixed control-plane cost (snapshot commits, bloom rebroadcast, driver
-scalars), sec/granted would fall ~4x from the small to the large size;
-if the data plane dominates, sec/granted stays ~flat.  The VM's ~3x
-noise caveat applies (see BENCH/BASELINE.md); single run, warm rounds
-only (round 0 pays one-time codegen + python-worker spin-up and is
-reported separately).
+(default "100000,1000000" — the biggest round carries >=10^6 URLs);
+every round's (granted, seconds) is recorded from the crawler's round
+trace.  If per-round time were dominated by fixed control-plane cost
+(snapshot commits, bloom rebroadcast, driver scalars), sec/granted
+would fall ~4x from the small to the large size; if the data plane
+dominates, sec/granted stays ~flat.  The VM's ~3x noise caveat applies
+(see BENCH/BASELINE.md); single run, warm rounds only (round 0 pays
+one-time codegen + python-worker spin-up and is reported separately).
+
+Fetch path: gen_web_fn — pages regenerate procedurally inside the
+fetch workers (pure per-domain RNG, byte-identical to gen_web,
+parity-tested).  A 10^6-domain web as a broadcast dict would pickle
+multi-GB into every Python worker; the closure ships as KBs, which is
+also why both sizes use it (same fetch mechanism = comparable us/URL).
 
 Usage: python tools/bench_biground.py     # writes one JSON line
 """
@@ -31,7 +37,7 @@ sys.path.insert(0, REPO)
 
 SIZES = [
     int(x)
-    for x in os.environ.get("SCALE_BIGROUND_DOMAINS", "25000,100000").split(",")
+    for x in os.environ.get("SCALE_BIGROUND_DOMAINS", "100000,1000000").split(",")
 ]
 CPUS = int(os.environ.get("SCALE_CPUS_BIG", "32"))
 
@@ -45,7 +51,7 @@ def run_size(n_domains: int) -> dict:
         PythonFetcher,
     )
     from privacy_crawler_parser_tokenizer_spark.sources.synth import (
-        gen_web,
+        gen_web_fn,
         make_dictionary,
         make_ground_truth,
     )
@@ -61,19 +67,20 @@ def run_size(n_domains: int) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.monotonic()
-    pages, seeds, robots = gen_web(n_domains=n_domains, seed=42)
+    fetch_fn, seeds, robots = gen_web_fn(n_domains, seed=42)
     gen_sec = time.monotonic() - t0
-    bc_pages = spark.sparkContext.broadcast(pages)
+    # Bloom sized to the web (~4 URLs/domain), never below the old cap
+    bloom_cap = max(1 << 22, 1 << (n_domains * 8 - 1).bit_length())
     fc = FrontierCrawler(
         spark,
         tempfile.mkdtemp(prefix=f"pcpt-biground-{n_domains}-"),
-        fetcher=PythonFetcher(lambda u: bc_pages.value.get(u, "")),
+        fetcher=PythonFetcher(fetch_fn),
         seeds=seeds,
         ground_truth=make_ground_truth(),
         dictionary=make_dictionary(),
         robots=robots,
         config=FrontierConfig(threshold=0.3, max_depth=2, host_budget=None,
-                              bloom_capacity=1 << 22),
+                              bloom_capacity=bloom_cap),
     )
     t1 = time.monotonic()
     fc.run()
@@ -88,7 +95,6 @@ def run_size(n_domains: int) -> dict:
     warm = [r for r in rounds[1:] if r["granted"] >= n_domains * 0.1]
     warm_sec = sum(r["sec"] for r in warm)
     warm_granted = sum(r["granted"] for r in warm)
-    bc_pages.destroy()
     spark.stop()
     return {
         "n_domains": n_domains,
