@@ -14,7 +14,6 @@ external data.
 
 from __future__ import annotations
 
-import functools
 import random
 import re
 
@@ -229,12 +228,22 @@ def gen_web_fn(
         and random.Random(seed * 1_000_003 + i).random() >= fail_rate
     }
 
-    @functools.lru_cache(maxsize=cache_size)
+    # hand-rolled FIFO cache: lru_cache-wrapped closures don't pickle
+    # into Spark workers; a dict closure does (ships empty, fills
+    # per-worker)
+    cache: dict[int, dict[str, str]] = {}
+
     def domain_pages(i: int) -> dict[str, str]:
-        return _domain_pages(
-            i, seed, fail_rate, hot_host_every, dup_policy_every,
-            non_english_every, shared_policy,
-        )[0]
+        dp = cache.get(i)
+        if dp is None:
+            if len(cache) >= cache_size:
+                cache.pop(next(iter(cache)))
+            dp = _domain_pages(
+                i, seed, fail_rate, hot_host_every, dup_policy_every,
+                non_english_every, shared_policy,
+            )[0]
+            cache[i] = dp
+        return dp
 
     def fetch(url: str) -> str:
         if url == "http://cdn.shared-host.com/privacy-shared":
