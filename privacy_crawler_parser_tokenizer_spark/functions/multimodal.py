@@ -9,13 +9,14 @@ table:
 
 Spark-side plumbing (schemas, partitioning, mapInPandas batch shape,
 UDF signatures) is real and tested.  The codec chain in ``_decode_one``
-is: Pillow if present (absent in this container) -> the pure-stdlib PNG
-codec (``core/png.py`` — REAL decode/resize/encode for PNG payloads,
-spec-implemented from RFC 2083) -> ``FakeCodec``, a deterministic,
-clearly-marked stand-in for the remaining formats (jpeg/webp/audio/
-video) that derives dimensions/features from a content hash so tests
-are reproducible.  Swapping in a full decoder touches only
-``_decode_one``.
+is: Pillow if present (absent in this container) -> the pure-stdlib
+codecs (``core/png.py`` — RFC 2083 PNG; ``core/bitmaps.py`` — BMP and
+netpbm PPM/PGM: REAL decode/resize/encode for all three) ->
+``FakeCodec``, a deterministic, clearly-marked stand-in for the
+remaining formats (jpeg/webp/audio/video) that derives dimensions/
+features from a content hash so tests are reproducible.  Swapping in a
+full decoder touches only ``_decode_one`` / ``resize_media``'s codec
+table.
 
 Scale notes: decode/feature stages are ``mapInPandas`` over the media
 table repartitioned by ``media_ref`` hash (bytes never shuffle twice);
@@ -32,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core import png
+from ..core import bitmaps, png
 
 MEDIA_SCHEMA = "doc_id string, media_ref string, fmt string, content binary"
 
@@ -84,8 +85,14 @@ def _decode_one(content: bytes) -> tuple[int, int, int, bool]:
         # and channel count from IHDR, no inflate needed for metadata
         return (*png.png_meta(content), True)
     except png.PngError:
-        w, h, c = FakeCodec.decode(content)
-        return w, h, c, False
+        pass
+    for meta in (bitmaps.bmp_meta, bitmaps.pnm_meta):  # REAL BMP / PPM
+        try:
+            return (*meta(content), True)
+        except bitmaps.BitmapError:
+            pass
+    w, h, c = FakeCodec.decode(content)
+    return w, h, c, False
 
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
@@ -162,13 +169,21 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Bounded resize: scale every image so its longer side is <=
     ``max_side`` (aspect preserved, never upscaled).
 
-    PNG payloads take the REAL path end to end: ``core/png.py`` decodes
-    the pixels, nearest-neighbor resamples them to the new geometry,
-    and re-encodes a valid PNG — output content round-trips through
-    ``decode_png``.  Non-PNG formats (no codec in this container) keep
-    the labeled stub: geometry is still computed from real/fake decoded
-    dims and the payload is a deterministic content-hash sized to the
-    new geometry so downstream byte-accounting stays exercised."""
+    PNG, BMP and PPM/PGM payloads take the REAL path end to end:
+    ``core/png.py`` / ``core/bitmaps.py`` decode the pixels, nearest-
+    neighbor resample them to the new geometry, and re-encode in the
+    same format — output content round-trips through the matching
+    decoder.  The remaining formats (jpeg/webp — no codec in this
+    container) keep the labeled stub: geometry is still computed from
+    real/fake decoded dims and the payload is a deterministic
+    content-hash sized to the new geometry so downstream
+    byte-accounting stays exercised."""
+
+    codecs = (
+        (png.decode_png, png.encode_png, png.PngError),
+        (bitmaps.decode_bmp, bitmaps.encode_bmp, bitmaps.BitmapError),
+        (bitmaps.decode_pnm, bitmaps.encode_pnm, bitmaps.BitmapError),
+    )
 
     def run(batches):
         for pdf in batches:
@@ -177,13 +192,18 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
                 pdf["doc_id"], pdf["media_ref"], pdf["fmt"], pdf["content"]
             ):
                 raw = bytes(c) if c is not None else b""
-                try:
-                    px = png.decode_png(raw)
+                payload = None
+                for decode, encode, err in codecs:
+                    try:
+                        px = decode(raw)
+                    except err:
+                        continue
                     h, w = px.shape[:2]
                     scale = min(1.0, max_side / max(w, h, 1))
                     nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
-                    payload = png.encode_png(png.resize_nearest(px, nw, nh))
-                except png.PngError:
+                    payload = encode(png.resize_nearest(px, nw, nh))
+                    break
+                if payload is None:
                     w, h, _ch, _ok = _decode_one(raw)
                     scale = min(1.0, max_side / max(w, h, 1))
                     nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)

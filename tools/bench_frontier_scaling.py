@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Frontier-job N->4N scaling efficiency AT BIG ROUND SIZES.
+
+BASELINE.json's criterion is "throughput scaling efficiency >=0.8 from
+N to 4N executors".  Rounds 1-2 evidenced it on the crawl data plane
+(pipeline job, 0.817-0.890) and showed the FULL frontier job anti-
+scaling at sandbox round sizes (2k-8k URLs/round), deferring to the
+amortization measurement (us/URL falls as rounds grow).  This tool
+closes the loop: it runs the full round-loop scheduler at round sizes
+in the amortized regime (>=5*10^4 URLs/round via the lazy procedural
+web) at local[N] and local[4N] and reports WARM-round throughput
+(granted fetches / seconds, rounds 1+ only — round 0 pays one-time
+codegen + python-worker spin-up, a per-process constant that a long-
+lived cluster pays once per deploy, not per round).
+
+Protocol (see BENCH/BASELINE.md noise caveats): interleaved repeats
+across the two levels, best-rate selection per level, subprocess-
+isolated Spark sessions, nothing else running on the box.
+
+Usage:  python tools/bench_frontier_scaling.py        # one JSON line
+        SCALE_CPUS_SMALL=2 SCALE_CPUS_BIG=8 SCALE_FRONTIER_DOMAINS=50000 \
+        SCALE_REPEATS=2 python tools/bench_frontier_scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SMALL = int(os.environ.get("SCALE_CPUS_SMALL", "2"))
+BIG = int(os.environ.get("SCALE_CPUS_BIG", "8"))
+N_DOMAINS = int(os.environ.get("SCALE_FRONTIER_DOMAINS", "50000"))
+REPEATS = int(os.environ.get("SCALE_REPEATS", "2"))
+
+
+def worker(cpus: int) -> None:
+    from pyspark.sql import SparkSession
+
+    from privacy_crawler_parser_tokenizer_spark.plans.frontier import (
+        FrontierConfig,
+        FrontierCrawler,
+        PythonFetcher,
+    )
+    from privacy_crawler_parser_tokenizer_spark.sources.synth import (
+        gen_web_fn,
+        make_dictionary,
+        make_ground_truth,
+    )
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"pcpt-frontier-scale-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    fetch_fn, seeds, robots = gen_web_fn(N_DOMAINS, seed=42)
+    bloom_cap = max(1 << 22, 1 << (N_DOMAINS * 8 - 1).bit_length())
+    t0 = time.monotonic()
+    fc = FrontierCrawler(
+        spark,
+        tempfile.mkdtemp(prefix=f"pcpt-fscale-{cpus}-"),
+        fetcher=PythonFetcher(fetch_fn),
+        seeds=seeds,
+        ground_truth=make_ground_truth(),
+        dictionary=make_dictionary(),
+        robots=robots,
+        config=FrontierConfig(threshold=0.3, max_depth=2, host_budget=None,
+                              bloom_capacity=bloom_cap),
+    )
+    fc.run()
+    total_sec = time.monotonic() - t0
+    rounds = [
+        {"round": tr["round"], "granted": tr["granted"],
+         "sec": round(fc.round_seconds[i], 2)}
+        for i, tr in enumerate(fc.round_trace)
+    ]
+    warm = [r for r in rounds[1:] if r["granted"] >= N_DOMAINS * 0.1]
+    warm_sec = sum(r["sec"] for r in warm)
+    warm_granted = sum(r["granted"] for r in warm)
+    spark.stop()
+    print(json.dumps({
+        "cpus": cpus,
+        "total_sec": round(total_sec, 1),
+        "rounds": rounds,
+        "warm_granted": warm_granted,
+        "warm_sec": round(warm_sec, 2),
+        "rate": round(warm_granted / warm_sec, 1) if warm_sec else 0.0,
+    }))
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        worker(int(sys.argv[sys.argv.index("--cpus") + 1]))
+        return
+
+    def run_once(cpus: int) -> dict:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--cpus", str(cpus)],
+            capture_output=True, text=True, cwd=REPO, check=True,
+            env={**os.environ},
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        rec = json.loads(line)
+        print(json.dumps(rec), flush=True)  # progress
+        return rec
+
+    runs: dict[int, list[dict]] = {SMALL: [], BIG: []}
+    for _ in range(REPEATS):              # interleave levels across repeats
+        for cpus in (SMALL, BIG):
+            runs[cpus].append(run_once(cpus))
+    best = {c: max(rs, key=lambda r: r["rate"]) for c, rs in runs.items()}
+    scale = BIG / SMALL
+    eff = best[BIG]["rate"] / (scale * best[SMALL]["rate"])
+    print(json.dumps({
+        "job": "frontier-biground",
+        "n_domains": N_DOMAINS,
+        "cpus_small": SMALL,
+        "cpus_big": BIG,
+        f"rate_{SMALL}c": best[SMALL]["rate"],
+        f"rate_{BIG}c": best[BIG]["rate"],
+        "scaling_efficiency": round(eff, 3),
+        "samples": {c: [x["rate"] for x in rs] for c, rs in runs.items()},
+        "best": best,
+    }))
+
+
+if __name__ == "__main__":
+    main()
