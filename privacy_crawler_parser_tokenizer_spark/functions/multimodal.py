@@ -11,12 +11,12 @@ Spark-side plumbing (schemas, partitioning, mapInPandas batch shape,
 UDF signatures) is real and tested.  The codec chain in ``_decode_one``
 is: Pillow if present (absent in this container) -> the pure-stdlib
 codecs (``core/png.py`` — RFC 2083 PNG; ``core/bitmaps.py`` — BMP and
-netpbm PPM/PGM: REAL decode/resize/encode for all three) ->
-``FakeCodec``, a deterministic, clearly-marked stand-in for the
-remaining formats (jpeg/webp/audio/video) that derives dimensions/
-features from a content hash so tests are reproducible.  Swapping in a
-full decoder touches only ``_decode_one`` / ``resize_media``'s codec
-table.
+netpbm PPM/PGM; ``core/jpeg.py`` — baseline JPEG: REAL decode/resize/
+encode for all four) -> ``FakeCodec``, a deterministic, clearly-marked
+stand-in for the remaining formats (webp/audio/video) that derives
+dimensions/features from a content hash so tests are reproducible.
+Swapping in a full decoder touches only ``_decode_one`` /
+``resize_media``'s codec table.
 
 Scale notes: decode/feature stages are ``mapInPandas`` over the media
 table repartitioned by ``media_ref`` hash (bytes never shuffle twice);
@@ -33,7 +33,16 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core import bitmaps, png
+from ..core import bitmaps, jpeg, png, wav
+
+try:  # full external codec, absent in this container; probed ONCE —
+    # a failed import is not cached by Python, so probing per row
+    # would pay a sys.path scan on every record
+    import io as _io
+
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
 
 MEDIA_SCHEMA = "doc_id string, media_ref string, fmt string, content binary"
 
@@ -72,25 +81,33 @@ class FakeCodec:
 
 
 def _decode_one(content: bytes) -> tuple[int, int, int, bool]:
-    try:  # full codec path (any format), absent in this container
-        import io
-
-        from PIL import Image  # noqa: F401
-
-        img = Image.open(io.BytesIO(content))
-        return img.width, img.height, len(img.getbands()), True
-    except Exception:
-        pass
+    if _PILImage is not None:  # full codec path (any format)
+        try:
+            img = _PILImage.open(_io.BytesIO(content))
+            return img.width, img.height, len(img.getbands()), True
+        except Exception:
+            pass
     try:  # REAL pure-stdlib PNG path (core/png.py): true dimensions
         # and channel count from IHDR, no inflate needed for metadata
         return (*png.png_meta(content), True)
     except png.PngError:
         pass
-    for meta in (bitmaps.bmp_meta, bitmaps.pnm_meta):  # REAL BMP / PPM
+    # REAL BMP / PPM / baseline-JPEG metadata paths
+    for meta, err in (
+        (bitmaps.bmp_meta, bitmaps.BitmapError),
+        (bitmaps.pnm_meta, bitmaps.BitmapError),
+        (jpeg.jpeg_meta, jpeg.JpegError),
+    ):
         try:
             return (*meta(content), True)
-        except bitmaps.BitmapError:
+        except err:
             pass
+    try:  # REAL WAV audio: (frames, channels, rate) maps to the
+        # image-shaped schema as width=frames, height=1
+        frames, channels, _rate = wav.wav_meta(content)
+        return frames, 1, channels, True
+    except wav.WavError:
+        pass
     w, h, c = FakeCodec.decode(content)
     return w, h, c, False
 
@@ -169,20 +186,22 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Bounded resize: scale every image so its longer side is <=
     ``max_side`` (aspect preserved, never upscaled).
 
-    PNG, BMP and PPM/PGM payloads take the REAL path end to end:
-    ``core/png.py`` / ``core/bitmaps.py`` decode the pixels, nearest-
-    neighbor resample them to the new geometry, and re-encode in the
-    same format — output content round-trips through the matching
-    decoder.  The remaining formats (jpeg/webp — no codec in this
-    container) keep the labeled stub: geometry is still computed from
-    real/fake decoded dims and the payload is a deterministic
-    content-hash sized to the new geometry so downstream
+    PNG, BMP, PPM/PGM and baseline-JPEG payloads take the REAL path
+    end to end: ``core/png.py`` / ``core/bitmaps.py`` / ``core/jpeg.py``
+    decode the pixels, nearest-neighbor resample them to the new
+    geometry, and re-encode in the same format — output content
+    round-trips through the matching decoder (JPEG lossily, within
+    quantization tolerance).  The remaining formats (webp — no codec
+    in this container) keep the labeled stub: geometry is still
+    computed from real/fake decoded dims and the payload is a
+    deterministic content-hash sized to the new geometry so downstream
     byte-accounting stays exercised."""
 
     codecs = (
         (png.decode_png, png.encode_png, png.PngError),
         (bitmaps.decode_bmp, bitmaps.encode_bmp, bitmaps.BitmapError),
         (bitmaps.decode_pnm, bitmaps.encode_pnm, bitmaps.BitmapError),
+        (jpeg.decode_jpeg, jpeg.encode_jpeg, jpeg.JpegError),
     )
 
     def run(batches):

@@ -17,6 +17,15 @@ Protocol (see BENCH/BASELINE.md noise caveats): interleaved repeats
 across the two levels, best-rate selection per level, subprocess-
 isolated Spark sessions, nothing else running on the box.
 
+Hardware pinning: local[N] does NOT confine the job to N cores — JVM
+shuffle/GC threads and the pipelined Python workers spill onto extra
+cores, so an unpinned local[2] run already consumes ~2x its nominal
+hardware and the 2c->8c slot ratio understates true cluster scaling.
+Each level therefore runs under ``taskset -c 0-(N-1)`` (children
+inherit the affinity mask), emulating an N-core vs 4N-core cluster of
+real hardware.  Disable with SCALE_TASKSET=0 to reproduce the unpinned
+(slot-ratio) measurement.
+
 Usage:  python tools/bench_frontier_scaling.py        # one JSON line
         SCALE_CPUS_SMALL=2 SCALE_CPUS_BIG=8 SCALE_FRONTIER_DOMAINS=50000 \
         SCALE_REPEATS=2 python tools/bench_frontier_scaling.py
@@ -104,10 +113,13 @@ def main() -> None:
         worker(int(sys.argv[sys.argv.index("--cpus") + 1]))
         return
 
+    pin = os.environ.get("SCALE_TASKSET", "1") != "0"
+
     def run_once(cpus: int) -> dict:
+        prefix = ["taskset", "-c", f"0-{cpus - 1}"] if pin else []
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker",
-             "--cpus", str(cpus)],
+            prefix + [sys.executable, os.path.abspath(__file__), "--worker",
+                      "--cpus", str(cpus)],
             capture_output=True, text=True, cwd=REPO, check=True,
             env={**os.environ},
         )
@@ -125,6 +137,7 @@ def main() -> None:
     eff = best[BIG]["rate"] / (scale * best[SMALL]["rate"])
     print(json.dumps({
         "job": "frontier-biground",
+        "pinned": pin,
         "n_domains": N_DOMAINS,
         "cpus_small": SMALL,
         "cpus_big": BIG,
