@@ -11,12 +11,18 @@ Spark-side plumbing (schemas, partitioning, mapInPandas batch shape,
 UDF signatures) is real and tested.  The codec chain in ``_decode_one``
 is: Pillow if present (absent in this container) -> the pure-stdlib
 codecs (``core/png.py`` — RFC 2083 PNG; ``core/bitmaps.py`` — BMP and
-netpbm PPM/PGM; ``core/jpeg.py`` — baseline JPEG: REAL decode/resize/
-encode for all four) -> ``FakeCodec``, a deterministic, clearly-marked
-stand-in for the remaining formats (webp/audio/video) that derives
-dimensions/features from a content hash so tests are reproducible.
-Swapping in a full decoder touches only ``_decode_one`` /
-``resize_media``'s codec table.
+netpbm PPM/PGM; ``core/jpeg.py`` — baseline JPEG; ``core/gif.py`` —
+GIF87a/89a incl. animation; ``core/wav.py`` — RIFF PCM audio: REAL
+decode/resize/encode for all six) -> ``FakeCodec``, a deterministic,
+clearly-marked stand-in for the remaining formats (webp/video
+containers) that derives dimensions/features from a content hash so
+tests are reproducible.  ``frame_sample_media`` decodes REAL frames
+from animated GIFs (the one multi-frame container expressible without
+external libs) and keeps the labeled byte-window stub for the rest;
+``media_features`` computes REAL PCM features (duration/RMS/peak/ZCR +
+spectral bands) for WAV payloads and falls back to the byte-histogram
+embedding otherwise.  Swapping in a full decoder touches only
+``_decode_one`` / ``resize_media``'s codec table.
 
 Scale notes: decode/feature stages are ``mapInPandas`` over the media
 table repartitioned by ``media_ref`` hash (bytes never shuffle twice);
@@ -33,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core import bitmaps, jpeg, png, wav
+from ..core import bitmaps, gif, jpeg, png, wav
 
 try:  # full external codec, absent in this container; probed ONCE —
     # a failed import is not cached by Python, so probing per row
@@ -92,11 +98,12 @@ def _decode_one(content: bytes) -> tuple[int, int, int, bool]:
         return (*png.png_meta(content), True)
     except png.PngError:
         pass
-    # REAL BMP / PPM / baseline-JPEG metadata paths
+    # REAL BMP / PPM / baseline-JPEG / GIF metadata paths
     for meta, err in (
         (bitmaps.bmp_meta, bitmaps.BitmapError),
         (bitmaps.pnm_meta, bitmaps.BitmapError),
         (jpeg.jpeg_meta, jpeg.JpegError),
+        (gif.gif_meta, gif.GifError),
     ):
         try:
             return (*meta(content), True)
@@ -156,14 +163,48 @@ def decode_media(media: DataFrame, n_partitions: int | None = None) -> DataFrame
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+def _wav_features(raw: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL audio features from decoded PCM: [duration_s, rms, peak,
+    zero-crossing-rate] + (dim-4) equal-width spectral band energy
+    fractions from an rFFT of the mono mix.  Deterministic; raises
+    ``wav.WavError`` for non-WAV payloads (callers fall back)."""
+    samples, rate = wav.decode_wav(raw)
+    if samples.shape[0] == 0:
+        raise wav.WavError("empty PCM stream")
+    mono = samples.astype(np.float64)
+    if samples.dtype == np.uint8:
+        mono = (mono - 128.0) / 128.0
+    elif samples.dtype == np.dtype("<i2"):
+        mono = mono / 32768.0
+    mono = mono.mean(axis=1)
+    n = mono.shape[0]
+    duration = n / rate
+    rms = float(np.sqrt(np.mean(mono * mono)))
+    peak = float(np.abs(mono).max())
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+    n_bands = dim - 4
+    power = np.abs(np.fft.rfft(mono)) ** 2
+    total = power.sum() or 1.0
+    edges = np.linspace(0, power.shape[0], n_bands + 1).astype(int)
+    bands = [power[edges[i] : edges[i + 1]].sum() / total for i in range(n_bands)]
+    return np.asarray([duration, rms, peak, zcr] + bands, dtype=np.float32)
+
+
 def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
-    """media table -> fixed-width float features (ANN-ready)."""
+    """media table -> fixed-width float features (ANN-ready).  WAV
+    payloads take the REAL PCM-feature path; everything else keeps the
+    deterministic byte-histogram embedding."""
+
+    def one(raw: bytes) -> list:
+        try:
+            return _wav_features(raw, dim).tolist()
+        except wav.WavError:
+            return FakeCodec.features(raw, dim).tolist()
 
     def run(batches):
         for pdf in batches:
             feats = [
-                FakeCodec.features(bytes(c) if c is not None else b"", dim).tolist()
-                for c in pdf["content"]
+                one(bytes(c) if c is not None else b"") for c in pdf["content"]
             ]
             yield pd.DataFrame(
                 {
@@ -246,3 +287,64 @@ def frame_sample_offsets(n_bytes: F.Column, n_frames: int = 4) -> F.Column:
         F.sequence(F.lit(0), F.lit(n_frames - 1)),
         lambda i: (n_bytes * i / n_frames).cast("long"),
     )
+
+
+FRAMES_SCHEMA = (
+    "doc_id string, media_ref string, frame_index int, n_frames int, "
+    "width int, height int, content binary, ok boolean"
+)
+
+
+def frame_sample_media(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Sample up to ``n_frames`` evenly spaced frames per media item.
+
+    Animated-GIF payloads take the REAL path end to end: ``core/gif.py``
+    decodes and composites every frame (LZW, interlace, transparency,
+    disposal), evenly spaced frame indices are selected across the
+    animation, and each sampled frame ships out PNG-encoded — output
+    ``content`` round-trips through ``core/png.py`` to the exact
+    composited pixels.  ``frame_index``/``n_frames`` carry the sampled
+    position and true frame count; single-frame stills yield one row.
+
+    Other formats (no video codec in this container) keep the labeled
+    stub: one row per requested frame with ``ok=false``, geometry 0x0,
+    and a deterministic byte window at the ``frame_sample_offsets``
+    position so downstream byte accounting stays exercised."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, c in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["content"]
+            ):
+                raw = bytes(c) if c is not None else b""
+                try:
+                    frames = gif.decode_gif(raw)
+                except gif.GifError:
+                    frames = None
+                if frames is not None:
+                    total, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+                    k = min(n_frames, total)
+                    picks = sorted(
+                        {round(i * (total - 1) / max(k - 1, 1)) for i in range(k)}
+                    )
+                    for fi in picks:
+                        rows.append(
+                            (doc_id, ref, int(fi), total, w, h,
+                             png.encode_png(frames[fi]), True)
+                        )
+                else:
+                    n_b = len(raw)
+                    for i in range(n_frames):
+                        off = n_b * i // n_frames
+                        rows.append(
+                            (doc_id, ref, i, n_frames, 0, 0,
+                             raw[off : off + 64], False)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_ref", "frame_index", "n_frames",
+                         "width", "height", "content", "ok"],
+            )
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -378,6 +378,14 @@ class FrontierConfig:
     # serializes on task slots); at production round sizes leave None
     # and let AQE size the files.
     delta_write_partitions: int | None = None
+    # broadcast the per-round state-update side (bounded by the
+    # politeness window: ~n_granted rows) into the domain_state rewrite
+    # when the round is at most this many granted URLs — the full-state
+    # rewrite then needs zero shuffles (scan -> 2 broadcast joins ->
+    # write).  Rounds above the threshold fall back to shuffle joins
+    # (the right plan when a production round's 10^7 updates no longer
+    # fit a broadcast).
+    broadcast_state_updates_max: int = 2_000_000
 
 
 @dataclass
@@ -848,6 +856,9 @@ class FrontierCrawler:
                 blocked_upd.withColumn("_expanded", F.lit(False)).withColumn("_made_doc", F.lit(False))
             )
         )
+        if n_granted <= cfg.broadcast_state_updates_max:
+            updates = F.broadcast(updates)
+            appended_counts = F.broadcast(appended_counts)
         st = (
             state.join(updates, "seed_rank", "left")
             .join(appended_counts, "seed_rank", "left")
@@ -919,9 +930,12 @@ class FrontierCrawler:
         # latency overlaps instead of summing across 7 writes.
         _t_plan = _time.monotonic()
         k = cfg.delta_write_partitions
+        wave_secs: dict[str, float] = {}  # per-job wall time, observability
 
         def _write(df_, table):
+            _w0 = _time.monotonic()
             wh.write(df_.coalesce(k) if k else df_, table, rnd)
+            wave_secs[table] = round(_time.monotonic() - _w0, 3)
 
         # fill the visits cache at full parallelism BEFORE its dependent
         # writes run (a coalesced write reading a cold cache would fill
@@ -940,8 +954,10 @@ class FrontierCrawler:
                     "href",
                     self._filter_factory(),
                 )
+            _f0 = _time.monotonic()
             fill = pool.submit(visits.count)
             fill.result()
+            wave_secs["_fill"] = round(_time.monotonic() - _f0, 3)
             futs += [pool.submit(_write, df_, table) for table, df_ in late]
             for f in futs:
                 f.result()
@@ -982,6 +998,7 @@ class FrontierCrawler:
             "admission": round(_t_plan - _t_fetch, 3),
             "write_wave": round(_t_wave - _t_plan, 3),
             "commit_tail": round(_t_end - _t_wave, 3),
+            "wave_jobs": wave_secs,
         })
         return True
 
