@@ -1,0 +1,119 @@
+"""Training-corpus scrubbing operators: benchmark decontamination and
+PII redaction.
+
+Both are standard large-scale LLM-data-pipeline stages the reference
+repo predates; they complete the dedup/quality/gate family in
+queries.py (the composed ``training_keep_list`` shows where they slot).
+
+Decontamination follows the n-gram collision method used for GPT-3 /
+Llama training sets: a document is contaminated when any word n-gram
+(default n=13) also appears in an evaluation benchmark.  Shape at
+100 TB: the benchmark n-gram set is tiny (test sets, not the corpus) —
+broadcast it; the document side shingles in-row (zipped shifted
+slices, codegen-friendly), dedupes per doc, and aggregates with one
+shuffle on doc_id.  No corpus self-join anywhere.
+
+PII redaction is a chain of native ``regexp_replace`` expressions —
+JVM-side, whole-stage-codegen, shuffle-free, RE2-compatible patterns
+(no lookaround) so the same regexes run in DuckDB for the test oracle.
+Pattern order matters and is fixed: wider numeric shapes (credit card)
+before narrower ones (phone) so substrings of an already-redacted span
+can't re-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles_col
+
+# ---------------------------------------------------------------- PII ----
+
+# (label, pattern, replacement) — applied strictly in order
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("cc", r"\b\d{4}[ \-]\d{4}[ \-]\d{4}[ \-]\d{4}\b", "<CC>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # three explicit forms (paren area code / +intl prefix / bare)
+    # because \b never matches before the non-word chars '(' and '+'
+    ("phone",
+     r"\(\d{3}\)[ .\-]\d{3}[ .\-]\d{4}\b"
+     r"|\+\d{1,2}[ .\-]\d{3}[ .\-]\d{3}[ .\-]\d{4}\b"
+     r"|\b\d{3}[ .\-]\d{3}[ .\-]\d{4}\b",
+     "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact_col(text: Column) -> Column:
+    """Redacted copy of ``text``: every PII_PATTERNS family replaced by
+    its placeholder, in order."""
+    out = text
+    for _label, pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def pii_counts_col(text: Column) -> Column:
+    """Struct of per-family match counts (counted on the progressively
+    redacted text, mirroring the replacement order so families never
+    double-count each other's spans)."""
+    fields = []
+    cur = text
+    for label, pattern, repl in PII_PATTERNS:
+        fields.append(F.regexp_count(cur, F.lit(pattern)).alias(label))
+        cur = F.regexp_replace(cur, pattern, repl)
+    return F.struct(*fields)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``redacted`` (scrubbed text) and ``pii`` (per-family count
+    struct) columns.  Map-only: no shuffle, no Python."""
+    return df.withColumn("redacted", pii_redact_col(F.col(text_col))).withColumn(
+        "pii", pii_counts_col(F.col(text_col))
+    )
+
+
+# ------------------------------------------------------- decontamination ----
+
+def benchmark_ngrams(benchmark: DataFrame, text_col: str = "text",
+                     n: int = 13) -> DataFrame:
+    """Distinct word n-grams of an evaluation benchmark, as a one-column
+    frame (``ngram``) ready to broadcast into ``decontaminate``."""
+    return (
+        benchmark.select(
+            F.explode(shingles_col(F.col(text_col), k=n)).alias("ngram")
+        ).distinct()
+    )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 13, broadcast: bool = True) -> DataFrame:
+    """Per-document benchmark-collision report: (id, n_collisions,
+    contaminated).  Every input document appears exactly once;
+    ``n_collisions`` counts DISTINCT colliding n-grams.
+
+    Plan shape: docs shingle+dedupe in-row (no shuffle), the benchmark
+    n-gram set joins broadcast (default — it is an eval set, not a
+    corpus), and one hash aggregation on ``id_col`` produces the
+    report.  Set ``broadcast=False`` for a pathologically large
+    benchmark to fall back to a shuffle join."""
+    bench = benchmark_ngrams(benchmark, text_col, n)
+    if broadcast:
+        bench = F.broadcast(bench)
+    grams = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(shingles_col(F.col(text_col), k=n))
+        ).alias("ngram"),
+    )
+    hit = grams.join(
+        bench.withColumn("_hit", F.lit(1)), "ngram", "left"
+    )
+    return (
+        hit.groupBy(id_col)
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_collisions"))
+        .withColumn("contaminated", F.col("n_collisions") > 0)
+    )
