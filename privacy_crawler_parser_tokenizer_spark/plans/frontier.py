@@ -472,16 +472,6 @@ class FrontierCrawler:
         return lambda: ShardedBloom(cfg.bloom_capacity, cfg.bloom_fpp)
 
     # -- state io ---------------------------------------------------------
-    def _stored_rdd_ids(self) -> set[int]:
-        """Ids of RDDs currently holding cached blocks (storage-level
-        view; includes localCheckpoint storage that DataFrame.unpersist
-        cannot reach)."""
-        return {
-            info.id()
-            for info in self.spark.sparkContext._jsc.sc().getRDDStorageInfo()
-            if info.numCachedPartitions() > 0
-        }
-
     def _empty(self, schema: str) -> DataFrame:
         return self.spark.createDataFrame([], schema)
 
@@ -576,7 +566,6 @@ class FrontierCrawler:
 
         _t0 = _time.monotonic()
         spark, cfg, wh = self.spark, self.cfg, self.wh
-        _rdds_before = self._stored_rdd_ids()
         prev = rnd - 1
         state = self._load("domain_state", prev)
         links = self._load_union("links", _LINKS_SCHEMA, prev)
@@ -655,17 +644,17 @@ class FrontierCrawler:
                 .withColumn("sim_raw", F.col("_pp.sim_raw"))
                 .drop("_pp")
             )
-        # localCheckpoint (lazy) instead of plain persist: same storage,
-        # but downstream plans see a shallow scan instead of the full
-        # fetch lineage — per-round Catalyst analysis of the 7 write
-        # jobs was the dominant non-scaling driver cost (round_trace
-        # wave_jobs).  Fault story unchanged: a lost block fails the
-        # round's job and the crawler resumes from the last committed
-        # round (the crash-recovery path that already exists).
+        # plain persist, NOT localCheckpoint: truncating lineage with a
+        # lazy localCheckpoint cuts per-round Catalyst analysis ~70% at
+        # tiny rounds, but swaps the compressed columnar cache for raw
+        # row-object block storage — measured 2x SLOWER end-to-end at
+        # 50k-URL rounds (same-window A/B, BENCH/BASELINE.md round 3).
+        # Columnar caching wins wherever data volume dominates, i.e.
+        # everywhere that matters at production round sizes.
         processed = staged.withColumn(
             "expanding",
             (F.col("contents") != "") & (is_landing | depth_ok),
-        ).localCheckpoint(eager=False)
+        ).persist()
         # materialize (fetch/UDF run exactly once) + round stats in one job
         _stats = processed.agg(
             F.count("*").alias("n"),
@@ -693,9 +682,7 @@ class FrontierCrawler:
         fresh = cand.filter(~F.col("_might")).withColumn("hist_seen", F.lit(False))
         cand2 = probed.unionByName(fresh)
         w_href = Window.partitionBy("href").orderBy("seed_rank", "page_pos")
-        cand2 = cand2.withColumn(
-            "probe_rank", F.row_number().over(w_href)
-        ).localCheckpoint(eager=False)
+        cand2 = cand2.withColumn("probe_rank", F.row_number().over(w_href)).persist()
 
         admitted = cand2.filter(~F.col("hist_seen") & (F.col("probe_rank") == 1))
         new_links_raw = admitted.filter(~is_junk_href_col(F.col("href"))).withColumn(
@@ -777,7 +764,7 @@ class FrontierCrawler:
                 F.col("text_hash").isNotNull()
                 & (F.coalesce(F.col("_hdup"), F.lit(False)) | (F.col("_rrn") > 1)),
             )
-        ).localCheckpoint(eager=False)
+        ).persist()
 
         policy_delta = visits.filter(
             F.col("text_hash").isNotNull()
@@ -1005,19 +992,11 @@ class FrontierCrawler:
         if cfg.compact_every and (rnd + 1) % cfg.compact_every == 0:
             for t in self._delta_tables:  # bounded multi-path read fan-in
                 wh.compact(spark, t, rnd)
+        processed.unpersist()
+        cand2.unpersist()
         links_delta.unpersist()
+        visits.unpersist()
         requests.unpersist()
-        # checkpointed round-local frames (processed/cand2/visits):
-        # DataFrame.unpersist() cannot reach localCheckpoint block
-        # storage, so free this round's blocks explicitly by id.
-        # Everything still stored that appeared since round start is
-        # round-local by construction (the crawler itself holds no
-        # cross-round cached frames; a caller caching frames
-        # concurrently with a round would lose only re-computable
-        # storage, not data).
-        _scala_sc = spark.sparkContext._jsc.sc()
-        for _rid in self._stored_rdd_ids() - _rdds_before:
-            _scala_sc.unpersistRDD(_rid, False)
         _t_end = _time.monotonic()
         self.round_seconds.append(_t_end - _t0)
         self.round_trace.append({
