@@ -386,6 +386,17 @@ class FrontierConfig:
     # (the right plan when a production round's 10^7 updates no longer
     # fit a broadcast).
     broadcast_state_updates_max: int = 2_000_000
+    # small rounds are PLANNING-bound (the 7 write jobs each re-analyze
+    # the deep round plan: ~4-7 s/round of driver time), large rounds
+    # are DATA-bound.  At or below this many due domains the round's
+    # cached frames are lazily localCheckpoint-ed — downstream plans
+    # become shallow scans, cutting the write-wave planning ~70%
+    # (2k-domain crawl: 33.3 -> 28.1 s).  Above it they use plain
+    # persist: Spark's compressed columnar cache, which a same-window
+    # A/B measured 2x faster end-to-end at 50k-URL rounds (raw row
+    # storage + GC beats the planning saving once ~KB payloads
+    # dominate).  Crossover measured between those two points.
+    lineage_truncate_max: int = 10_000
 
 
 @dataclass
@@ -472,6 +483,16 @@ class FrontierCrawler:
         return lambda: ShardedBloom(cfg.bloom_capacity, cfg.bloom_fpp)
 
     # -- state io ---------------------------------------------------------
+    def _stored_rdd_ids(self) -> set[int]:
+        """Ids of RDDs currently holding cached blocks (storage-level
+        view; includes localCheckpoint storage that DataFrame.unpersist
+        cannot reach)."""
+        return {
+            info.id()
+            for info in self.spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if info.numCachedPartitions() > 0
+        }
+
     def _empty(self, schema: str) -> DataFrame:
         return self.spark.createDataFrame([], schema)
 
@@ -566,6 +587,7 @@ class FrontierCrawler:
 
         _t0 = _time.monotonic()
         spark, cfg, wh = self.spark, self.cfg, self.wh
+        _rdds_before = self._stored_rdd_ids()
         prev = rnd - 1
         state = self._load("domain_state", prev)
         links = self._load_union("links", _LINKS_SCHEMA, prev)
@@ -581,6 +603,13 @@ class FrontierCrawler:
         )
         if n_active == 0:
             return False
+        # adaptive caching for the round-local frames (see
+        # FrontierConfig.lineage_truncate_max): n_active bounds this
+        # round's granted requests, known before any frame is built
+        truncate = n_active <= cfg.lineage_truncate_max
+
+        def _stash(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=False) if truncate else df.persist()
 
         # 1. resolve each due domain's single request url ------------------
         link_at = links.select(
@@ -644,17 +673,10 @@ class FrontierCrawler:
                 .withColumn("sim_raw", F.col("_pp.sim_raw"))
                 .drop("_pp")
             )
-        # plain persist, NOT localCheckpoint: truncating lineage with a
-        # lazy localCheckpoint cuts per-round Catalyst analysis ~70% at
-        # tiny rounds, but swaps the compressed columnar cache for raw
-        # row-object block storage — measured 2x SLOWER end-to-end at
-        # 50k-URL rounds (same-window A/B, BENCH/BASELINE.md round 3).
-        # Columnar caching wins wherever data volume dominates, i.e.
-        # everywhere that matters at production round sizes.
-        processed = staged.withColumn(
+        processed = _stash(staged.withColumn(
             "expanding",
             (F.col("contents") != "") & (is_landing | depth_ok),
-        ).persist()
+        ))
         # materialize (fetch/UDF run exactly once) + round stats in one job
         _stats = processed.agg(
             F.count("*").alias("n"),
@@ -682,7 +704,7 @@ class FrontierCrawler:
         fresh = cand.filter(~F.col("_might")).withColumn("hist_seen", F.lit(False))
         cand2 = probed.unionByName(fresh)
         w_href = Window.partitionBy("href").orderBy("seed_rank", "page_pos")
-        cand2 = cand2.withColumn("probe_rank", F.row_number().over(w_href)).persist()
+        cand2 = _stash(cand2.withColumn("probe_rank", F.row_number().over(w_href)))
 
         admitted = cand2.filter(~F.col("hist_seen") & (F.col("probe_rank") == 1))
         new_links_raw = admitted.filter(~is_junk_href_col(F.col("href"))).withColumn(
@@ -764,7 +786,8 @@ class FrontierCrawler:
                 F.col("text_hash").isNotNull()
                 & (F.coalesce(F.col("_hdup"), F.lit(False)) | (F.col("_rrn") > 1)),
             )
-        ).persist()
+        )
+        visits = _stash(visits)
 
         policy_delta = visits.filter(
             F.col("text_hash").isNotNull()
@@ -997,6 +1020,14 @@ class FrontierCrawler:
         links_delta.unpersist()
         visits.unpersist()
         requests.unpersist()
+        if truncate:
+            # DataFrame.unpersist() cannot reach localCheckpoint block
+            # storage: free this round's remaining blocks by id (all
+            # round-local by construction — the crawler holds no
+            # cross-round cached frames)
+            _scala_sc = spark.sparkContext._jsc.sc()
+            for _rid in self._stored_rdd_ids() - _rdds_before:
+                _scala_sc.unpersistRDD(_rid, False)
         _t_end = _time.monotonic()
         self.round_seconds.append(_t_end - _t0)
         self.round_trace.append({
