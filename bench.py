@@ -36,6 +36,8 @@ HEADLINE = [
     "minhash_bands",
     "lsh_candidate_pairs",
     "exact_dedup",
+    "pii_scrub",
+    "decontaminate",
     "training_keep_list",
     "sentence_pipeline",
     "pricing_summary",

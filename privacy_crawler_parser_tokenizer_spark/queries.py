@@ -1708,33 +1708,44 @@ def q_top_customers(spark, sf_dir):
     )
 
 
-@query(
-    "region_rollup",
-    """
-    SELECT r.r_name,
-           CAST(count(*) AS BIGINT) AS n_customers,
-           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(20,2))) AS DOUBLE) / count(*), 6) AS avg_acctbal
-    FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY r.r_name
-    """,
-)
-def q_region_rollup(spark, sf_dir):
-    """Multi-hop broadcast joins + aggregation."""
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name")
-        .agg(
-            F.count("*").alias("n_customers"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(20,2)")).cast("double") / F.count("*"), 6
-            ).alias("avg_acctbal"),
+def _pii_sql() -> str:
+    """PII redaction + per-family counts as one DuckDB projection.
+
+    Counts are taken on the progressively redacted text (same order as
+    the Spark side) so families never double-count each other's spans;
+    the patterns are RE2-compatible by construction (operators/scrub.py)
+    so both engines run the identical regex source."""
+    from .operators.scrub import PII_PATTERNS
+
+    expr = "text"
+    counts = []
+    for label, pattern, repl in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({expr}, '{pattern}')) AS BIGINT) AS n_{label}"
         )
+        expr = f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+    return (
+        f"SELECT doc_id, {expr} AS redacted, {', '.join(counts)} FROM documents"
+    )
+
+
+@query("pii_scrub", _pii_sql())
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over the corpus (operators/scrub.py): chained
+    native regexp_replace — map-only, shuffle-free, whole-stage codegen
+    (plan-tested in test_scrub.py).  The standard scrubbing stage a
+    100-TB training pipeline runs before publishing text."""
+    from .operators.scrub import PII_PATTERNS, pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pii_scrub(docs)
+    return out.select(
+        "doc_id",
+        "redacted",
+        *[
+            F.col("pii")[label].cast("long").alias(f"n_{label}")
+            for label, _, _ in PII_PATTERNS
+        ],
     )
 
 
@@ -1760,24 +1771,50 @@ def q_events_neighbor_context(spark, sf_dir):
     )
 
 
-@query(
-    "events_first_per_type",
+_DECON_N = 13  # the GPT-3 / Llama benchmark-collision shingle width
+
+
+def _decon_sql() -> str:
+    """Benchmark decontamination oracle: 13-gram collisions against a
+    deterministic benchmark slice (doc_id % 17 = 3) of the same corpus."""
+    n = _DECON_N
+    joined = " || ' ' || ".join(f"words[i+{j}]" for j in range(n))
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS words
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(words) < {n} THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, len(words) - {n - 2}),
+                                      i -> {joined}) END AS sh
+      FROM w),
+    bench AS (SELECT DISTINCT unnest(sh) AS ngram FROM s WHERE doc_id % 17 = 3),
+    e AS (SELECT doc_id, unnest(list_distinct(sh)) AS ngram FROM s),
+    hits AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS c
+             FROM e JOIN bench USING (ngram) GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(coalesce(h.c, 0) AS BIGINT) AS n_collisions,
+           coalesce(h.c, 0) > 0 AS contaminated
+    FROM (SELECT DISTINCT doc_id FROM s) s LEFT JOIN hits h USING (doc_id)
     """
-    SELECT user_id, event_type, event_id FROM (
-      SELECT user_id, event_type, event_id,
-             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
-      FROM events) WHERE rn = 1
-    """,
-)
-def q_events_first_per_type(spark, sf_dir):
-    """First-writer-wins dedupe window (crawl dedupe pattern §2.2)."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("user_id", "event_type", "event_id")
-    )
+
+
+@query("decontaminate", _decon_sql())
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/scrub.py): flag documents
+    sharing any word 13-gram with an evaluation benchmark — here a
+    deterministic slice of the corpus (doc_id % 17 = 3), standing in
+    for a broadcast eval set.  Plan shape: in-row shingle+dedupe (no
+    shuffle), broadcast hash join against the tiny benchmark n-gram
+    set, one aggregation on doc_id — no corpus self-join anywhere."""
+    from .operators.scrub import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    return decontaminate(docs, bench, n=_DECON_N)
 
 
 @query(

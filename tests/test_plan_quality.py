@@ -37,7 +37,9 @@ def test_column_pruning(spark):
 
 def test_small_dims_broadcast(spark):
     assert has_broadcast_join(plan(spark, "top_customers"))
-    assert has_broadcast_join(plan(spark, "region_rollup"))
+    # the benchmark n-gram side of decontamination is an eval set, not
+    # a corpus — it must broadcast, never shuffle the document grams
+    assert has_broadcast_join(plan(spark, "decontaminate"))
 
 
 def test_partial_aggregation(spark):
