@@ -694,7 +694,13 @@ class FrontierCrawler:
             cand = cand.withColumn("_might", bloom_udf(F.col("href")))
         else:
             cand = cand.withColumn("_might", F.lit(True))
-        seen_keys = seen.select(F.col("href").alias("_seen_href"))
+        # distinct is required for correctness, not just hygiene: an href
+        # re-probed in 3+ distinct rounds has one seen-delta row PER
+        # round, and a multi-match here would duplicate the cand row and
+        # inflate its probe count.  It is also free at scale — the
+        # partial (map-side) aggregate collapses duplicate hrefs before
+        # the join's own exchange, shrinking shuffle volume.
+        seen_keys = seen.select(F.col("href").alias("_seen_href")).distinct()
         probed = (
             cand.filter("_might")
             .join(seen_keys, F.col("href") == F.col("_seen_href"), "left")
@@ -704,7 +710,17 @@ class FrontierCrawler:
         fresh = cand.filter(~F.col("_might")).withColumn("hist_seen", F.lit(False))
         cand2 = probed.unionByName(fresh)
         w_href = Window.partitionBy("href").orderBy("seed_rank", "page_pos")
-        cand2 = _stash(cand2.withColumn("probe_rank", F.row_number().over(w_href)))
+        # this round's probe count per href rides the SAME exchange as
+        # the admission row_number (equal partition keys; the unordered
+        # count is satisfied by the sorted partition) — the seen-delta
+        # write then just projects the cached frame instead of paying a
+        # second full shuffle + hash aggregation of cand2 per round
+        cand2 = _stash(
+            cand2.withColumn("probe_rank", F.row_number().over(w_href))
+            .withColumn(
+                "_probes", F.count(F.lit(1)).over(Window.partitionBy("href"))
+            )
+        )
 
         admitted = cand2.filter(~F.col("hist_seen") & (F.col("probe_rank") == 1))
         new_links_raw = admitted.filter(~is_junk_href_col(F.col("href"))).withColumn(
@@ -755,11 +771,14 @@ class FrontierCrawler:
                     links_obs, F.count(F.lit(1)).alias("n")
                 ),
             ))
-            # probe-count delta: reader aggregates sum(probes)/min(first_round)
-            seen_delta = (
-                cand2.groupBy("href")
-                .agg(F.count("*").cast("long").alias("probes"))
-                .withColumn("first_round", F.lit(rnd).cast("int"))
+            # probe-count delta: reader aggregates sum(probes)/min(first_round).
+            # One row per href == the probe_rank==1 row; its _probes window
+            # count was computed inside the admission exchange, so this
+            # write is a pure projection of the cached cand2 frame.
+            seen_delta = cand2.filter(F.col("probe_rank") == 1).select(
+                "href",
+                F.col("_probes").cast("long").alias("probes"),
+                F.lit(rnd).cast("int").alias("first_round"),
             )
             pending.append(("seen", seen_delta))
 

@@ -120,6 +120,36 @@ def test_frontier_micro_web(spark, tmp_path):
     assert_matches_oracle(fc, res)
 
 
+def test_frontier_cross_round_reprobe_counts(spark, tmp_path):
+    """An href probed in THREE distinct rounds: each earlier round wrote
+    its own seen-delta row, so the probe join must dedupe the seen side
+    or the later probes multi-match and inflate the revisit count (the
+    oracle counts one probe per page occurrence, revisits = probes - 1).
+    Regression: the engine reported revisits=3 here instead of 2."""
+    common = "http://common.example.com/x"
+    landing = (
+        '<a href="http://a.com/p1">privacy</a>'
+        '<a href="http://a.com/p2">privacy</a>'
+        '<a href="http://a.com/p3">privacy</a>'
+    )
+    with_common = POLICY.replace(
+        "</body>", f'<a href="{common}">privacy link</a></body>'
+    )
+    pages = {
+        "http://a.com": landing,
+        # p1/p2/p3 visited on consecutive rounds, each probing `common`
+        "http://a.com/p1": with_common,
+        "http://a.com/p2": with_common,
+        "http://a.com/p3": with_common,
+        common: POLICY,
+    }
+    seeds = ["a.com"]
+    res = run_oracle(pages, seeds)
+    assert res.seen[common] == 2  # the fixture exercises the 3-round case
+    fc = run_frontier(spark, tmp_path / "wh", pages, seeds)
+    assert_matches_oracle(fc, res)
+
+
 def test_frontier_matches_oracle_gen_web(spark, tmp_path):
     pages, seeds, robots = gen_web(n_domains=12, seed=42)
     res = run_oracle(pages, seeds, robots=robots, host_budget=2, max_depth=2)
