@@ -709,20 +709,34 @@ class FrontierCrawler:
         )
         fresh = cand.filter(~F.col("_might")).withColumn("hist_seen", F.lit(False))
         cand2 = probed.unionByName(fresh)
-        w_href = Window.partitionBy("href").orderBy("seed_rank", "page_pos")
-        # this round's probe count per href rides the SAME exchange as
-        # the admission row_number (equal partition keys; the unordered
-        # count is satisfied by the sorted partition) — the seen-delta
-        # write then just projects the cached frame instead of paying a
-        # second full shuffle + hash aggregation of cand2 per round
-        cand2 = _stash(
-            cand2.withColumn("probe_rank", F.row_number().over(w_href))
-            .withColumn(
-                "_probes", F.count(F.lit(1)).over(Window.partitionBy("href"))
+        # One partial-aggregable groupBy replaces the former
+        # row_number-over-href window: the in-round winner row per href
+        # is min(struct(seed_rank, page_pos, ...)) — (seed_rank,
+        # page_pos) is unique in-round, so the argmin IS the window's
+        # probe_rank==1 row — and the probe count and hist_seen (an
+        # href-constant: Bloom verdict + seen-table membership depend
+        # only on the href) ride the same aggregation.  Scale shape vs
+        # the window: map-side combine collapses duplicate hrefs BEFORE
+        # the exchange, so a viral href (millions of in-round
+        # occurrences) ships as one partial row per task instead of
+        # funneling every occurrence into one skewed sort partition,
+        # and the cached frame shrinks to unique hrefs.
+        cand3 = _stash(
+            cand2.groupBy("href").agg(
+                F.min(
+                    F.struct("seed_rank", "page_pos", "full_url")
+                ).alias("_w"),
+                F.count(F.lit(1)).cast("long").alias("_probes"),
+                F.max("hist_seen").alias("hist_seen"),
             )
         )
 
-        admitted = cand2.filter(~F.col("hist_seen") & (F.col("probe_rank") == 1))
+        admitted = cand3.filter(~F.col("hist_seen")).select(
+            F.col("_w.seed_rank").alias("seed_rank"),
+            F.col("_w.full_url").alias("full_url"),
+            F.col("_w.page_pos").alias("page_pos"),
+            "href",
+        )
         new_links_raw = admitted.filter(~is_junk_href_col(F.col("href"))).withColumn(
             "completed", complete_link_col(F.col("full_url"), F.col("href"))
         )
@@ -772,12 +786,12 @@ class FrontierCrawler:
                 ),
             ))
             # probe-count delta: reader aggregates sum(probes)/min(first_round).
-            # One row per href == the probe_rank==1 row; its _probes window
-            # count was computed inside the admission exchange, so this
-            # write is a pure projection of the cached cand2 frame.
-            seen_delta = cand2.filter(F.col("probe_rank") == 1).select(
+            # The probe count was computed inside the admission
+            # aggregation, so this write is a pure projection of the
+            # cached cand3 frame — no second shuffle of the candidates.
+            seen_delta = cand3.select(
                 "href",
-                F.col("_probes").cast("long").alias("probes"),
+                F.col("_probes").alias("probes"),
                 F.lit(rnd).cast("int").alias("first_round"),
             )
             pending.append(("seen", seen_delta))
@@ -989,7 +1003,7 @@ class FrontierCrawler:
         # fill the visits cache at full parallelism BEFORE its dependent
         # writes run (a coalesced write reading a cold cache would fill
         # it at the coalesced parallelism); links/seen writes only need
-        # the already-filled cand2/links caches, so they overlap with it
+        # the cand3/links caches, so they overlap with it
         visits_tables = {"policy_seen", "crawl_log", "documents", "domain_state"}
         early = [(t, d) for t, d in pending if t not in visits_tables]
         late = [(t, d) for t, d in pending if t in visits_tables]
@@ -999,7 +1013,7 @@ class FrontierCrawler:
             if cfg.use_bloom and n_cand > 0:
                 delta_fut = pool.submit(
                     build_filter_distributed,
-                    cand2.filter(~F.col("hist_seen") & (F.col("probe_rank") == 1)),
+                    cand3.filter(~F.col("hist_seen")).select("href"),
                     "href",
                     self._filter_factory(),
                 )
@@ -1035,7 +1049,7 @@ class FrontierCrawler:
             for t in self._delta_tables:  # bounded multi-path read fan-in
                 wh.compact(spark, t, rnd)
         processed.unpersist()
-        cand2.unpersist()
+        cand3.unpersist()
         links_delta.unpersist()
         visits.unpersist()
         requests.unpersist()
