@@ -459,6 +459,10 @@ class FrontierCrawler:
         self._next_active = None    # due-count observed on the state write
         self.round_seconds: list[float] = []  # per-round wall clock (scale evidence)
         self.round_trace: list[dict] = []     # per-round phase timings
+        # test seam: when set, called as fn(name, df) on the round's key
+        # frames so plan-quality tests can introspect the optimized plan
+        # (explain only — never triggers execution)
+        self.plan_probe = None
 
     def _broadcast_filter(self):
         """Broadcast the current filter, destroying the previous round's
@@ -721,15 +725,16 @@ class FrontierCrawler:
         # occurrences) ships as one partial row per task instead of
         # funneling every occurrence into one skewed sort partition,
         # and the cached frame shrinks to unique hrefs.
-        cand3 = _stash(
-            cand2.groupBy("href").agg(
-                F.min(
-                    F.struct("seed_rank", "page_pos", "full_url")
-                ).alias("_w"),
-                F.count(F.lit(1)).cast("long").alias("_probes"),
-                F.max("hist_seen").alias("hist_seen"),
-            )
+        _admission = cand2.groupBy("href").agg(
+            F.min(
+                F.struct("seed_rank", "page_pos", "full_url")
+            ).alias("_w"),
+            F.count(F.lit(1)).cast("long").alias("_probes"),
+            F.max("hist_seen").alias("hist_seen"),
         )
+        if self.plan_probe is not None:
+            self.plan_probe("cand3", _admission)
+        cand3 = _stash(_admission)
 
         admitted = cand3.filter(~F.col("hist_seen")).select(
             F.col("_w.seed_rank").alias("seed_rank"),
@@ -740,11 +745,13 @@ class FrontierCrawler:
         new_links_raw = admitted.filter(~is_junk_href_col(F.col("href"))).withColumn(
             "completed", complete_link_col(F.col("full_url"), F.col("href"))
         )
-        # ordered in-page dedupe on the completed link (crawler.py:137)
-        w_page = Window.partitionBy("seed_rank", "completed").orderBy("page_pos")
-        page_links = new_links_raw.withColumn(
-            "_prn", F.row_number().over(w_page)
-        ).filter("_prn = 1")
+        # ordered in-page dedupe on the completed link (crawler.py:137):
+        # first occurrence == min(page_pos) per (seed_rank, completed) —
+        # a partial-aggregable groupBy (map-side combine, no sort),
+        # whose output partitioning the following anti-join reuses
+        page_links = new_links_raw.groupBy("seed_rank", "completed").agg(
+            F.min("page_pos").alias("page_pos")
+        )
         # in-list dedupe against the domain's existing frontier (crawler.py:199-201)
         page_links = page_links.join(
             links.withColumnRenamed("url", "completed"),
@@ -760,6 +767,8 @@ class FrontierCrawler:
             .withColumn("pos", (F.col("_base") + F.row_number().over(w_append) - 1).cast("int"))
             .select("seed_rank", "pos", F.col("completed").alias("url"))
         ).persist()
+        if self.plan_probe is not None:
+            self.plan_probe("links_delta", links_delta)
 
         # 5. append-only deltas: links + seen probe counts.  Rounds with
         # no candidates (politeness-deferred tails) skip these writes and

@@ -73,6 +73,14 @@ def has_partial_aggregation(plan: str) -> bool:
     return n >= 2
 
 
+def n_windows(plan: str) -> int:
+    """Window operator count in a formatted plan (each sort-based
+    per-partition operator prints one ``(N) Window`` detail header)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Window", plan))
+
+
 def codegen_stage_count(plan: str) -> int:
     """Distinct whole-stage-codegen stages (formatted mode annotates
     nodes with ``[codegen id : N]``; simple mode prints

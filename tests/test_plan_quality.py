@@ -151,6 +151,47 @@ def test_new_quality_ops_stay_shuffle_free(spark):
     assert n_exchanges(plan(spark, "dup_ngram_fraction")) == 0
 
 
+def test_frontier_links_chain_plan_shape(spark, tmp_path):
+    """The frontier's admission dedupe (winner-per-href) and in-page
+    dedupe (first occurrence per completed link) must be partial-
+    aggregable groupBys — map-side combine collapses a viral href
+    before the exchange instead of funneling every occurrence into one
+    skewed Window sort partition.  The only Window left in the links
+    chain is the per-seed append positioner (inherently ordered)."""
+    from privacy_crawler_parser_tokenizer_spark.plans.frontier import (
+        FrontierConfig,
+        FrontierCrawler,
+    )
+    from privacy_crawler_parser_tokenizer_spark.plans.introspect import n_windows
+    from privacy_crawler_parser_tokenizer_spark.sources.synth import (
+        make_dictionary,
+        make_ground_truth,
+    )
+
+    landing = '<a href="/privacy">privacy</a><p>welcome</p>'
+    pages_df = spark.createDataFrame(
+        [("http://a.com", landing), ("http://a.com/privacy", "<p>policy</p>")],
+        "url string, html string",
+    )
+    fc = FrontierCrawler(
+        spark,
+        str(tmp_path / "wh"),
+        pages=pages_df,
+        seeds=["a.com"],
+        ground_truth=make_ground_truth(),
+        dictionary=make_dictionary(),
+        config=FrontierConfig(threshold=0.3, bloom_capacity=1 << 12),
+    )
+    plans = {}
+    fc.plan_probe = lambda name, df: plans.setdefault(name, formatted_plan(df))
+    fc.run()
+    cand3, links_delta = plans["cand3"], plans["links_delta"]
+    assert has_partial_aggregation(cand3), cand3
+    assert n_windows(cand3) == 0, cand3
+    assert has_partial_aggregation(links_delta), links_delta
+    assert n_windows(links_delta) == 1, links_delta
+
+
 def test_simhash_candidates_is_bucketed_not_all_pairs(spark):
     """The simhash pair generator must be the banded-bucket shape (agg
     + explode), never a cross join."""
