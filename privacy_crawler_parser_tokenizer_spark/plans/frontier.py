@@ -650,6 +650,8 @@ class FrontierCrawler:
                 "_hrn", F.row_number().over(w_host)
             )
             granted = eligible.filter(F.col("_hrn") <= cfg.host_budget).drop("_hrn")
+            if self.plan_probe is not None:
+                self.plan_probe("granted", granted)
         else:
             granted = eligible
         blocked = requests.filter(~F.col("robots_ok"))
@@ -810,30 +812,45 @@ class FrontierCrawler:
             "text_hash",
             F.when(F.col("contents") != "", F.sha2(F.col("contents"), 256)),
         )
-        hist_hash = policy_seen.select(F.col("text_hash"), F.lit(True).alias("_hdup"))
-        # partition key falls back to seed_rank for null-hash (empty
-        # content) rows: they never dedupe, and a plain text_hash
-        # partition would funnel every empty fetch into one hot task
-        w_hash = Window.partitionBy(
-            F.coalesce(F.col("text_hash"), F.col("seed_rank").cast("string"))
-        ).orderBy("seed_rank")
-        visits = (
-            visits.join(hist_hash, "text_hash", "left")
-            .withColumn(
-                "_rrn",
-                F.when(F.col("text_hash").isNotNull(), F.row_number().over(w_hash)),
-            )
-            .withColumn(
-                "dup",
-                F.col("text_hash").isNotNull()
-                & (F.coalesce(F.col("_hdup"), F.lit(False)) | (F.col("_rrn") > 1)),
+        # first-writer per content hash: one link visit per seed per
+        # round (the oracle's in-round commit order is seed rank, and a
+        # seed visits at most one link per round), so the in-round
+        # winner is exactly min(seed_rank) — a partial-aggregable
+        # groupBy instead of the former row_number window, for the same
+        # reason as the admission dedupe: a viral duplicate page (the
+        # same 404 boilerplate fetched from millions of hosts in one
+        # round) collapses map-side instead of funneling into one sort
+        # partition, and AQE can split the skewed join back where a
+        # Window partition is unsplittable.  The historical dedupe join
+        # also shrinks: the ever-growing policy_seen table now joins
+        # one row per DISTINCT in-round hash, not one per visit.
+        winners = (
+            visits.filter(F.col("text_hash").isNotNull())
+            .groupBy("text_hash")
+            .agg(F.min("seed_rank").alias("_win_seed"))
+            .join(
+                policy_seen.select(
+                    F.col("text_hash"), F.lit(True).alias("_hdup")
+                ),
+                "text_hash",
+                "left",
             )
         )
+        visits = visits.join(winners, "text_hash", "left").withColumn(
+            "dup",
+            F.col("text_hash").isNotNull()
+            & (
+                F.coalesce(F.col("_hdup"), F.lit(False))
+                | (F.col("seed_rank") != F.col("_win_seed"))
+            ),
+        )
+        if self.plan_probe is not None:
+            self.plan_probe("visits", visits)
         visits = _stash(visits)
 
         policy_delta = visits.filter(
             F.col("text_hash").isNotNull()
-            & (F.col("_rrn") == 1)
+            & (F.col("seed_rank") == F.col("_win_seed"))
             & ~F.coalesce(F.col("_hdup"), F.lit(False))
         ).select(
             "text_hash", "seed_rank", F.col("next_idx").alias("pos"), F.lit(rnd).alias("round")

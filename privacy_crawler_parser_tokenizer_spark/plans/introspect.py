@@ -75,10 +75,21 @@ def has_partial_aggregation(plan: str) -> bool:
 
 def n_windows(plan: str) -> int:
     """Window operator count in a formatted plan (each sort-based
-    per-partition operator prints one ``(N) Window`` detail header)."""
+    per-partition operator prints one ``(N) Window`` detail header).
+    WindowGroupLimit nodes are NOT counted — they are the map-side
+    top-k optimization, not a full-partition sort."""
     import re
 
-    return len(re.findall(r"\(\d+\) Window", plan))
+    return len(re.findall(r"\(\d+\) Window\b", plan))
+
+
+def n_window_group_limits(plan: str) -> int:
+    """WindowGroupLimit count: rank-filter pushdown (a partial node
+    before the exchange + a final one after = map-side per-group
+    top-k, the skew defense for rank()-style dequeues)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) WindowGroupLimit", plan))
 
 
 def codegen_stage_count(plan: str) -> int:

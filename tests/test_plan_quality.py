@@ -180,7 +180,9 @@ def test_frontier_links_chain_plan_shape(spark, tmp_path):
         seeds=["a.com"],
         ground_truth=make_ground_truth(),
         dictionary=make_dictionary(),
-        config=FrontierConfig(threshold=0.3, bloom_capacity=1 << 12),
+        config=FrontierConfig(
+            threshold=0.3, bloom_capacity=1 << 12, host_budget=2
+        ),
     )
     plans = {}
     fc.plan_probe = lambda name, df: plans.setdefault(name, formatted_plan(df))
@@ -190,6 +192,19 @@ def test_frontier_links_chain_plan_shape(spark, tmp_path):
     assert n_windows(cand3) == 0, cand3
     assert has_partial_aggregation(links_delta), links_delta
     assert n_windows(links_delta) == 1, links_delta
+    # content first-writer dedupe: groupBy winners + join, no window
+    visits = plans["visits"]
+    assert has_partial_aggregation(visits), visits
+    assert n_windows(visits) == 0, visits
+    # politeness dequeue: the row_number <= budget filter must become a
+    # WindowGroupLimit pair (partial map-side + final) — a hot host's
+    # million due URLs ship as `budget` rows per map task, not a full
+    # sort partition
+    from privacy_crawler_parser_tokenizer_spark.plans.introspect import (
+        n_window_group_limits,
+    )
+
+    assert n_window_group_limits(plans["granted"]) >= 2, plans["granted"]
 
 
 def test_simhash_candidates_is_bucketed_not_all_pairs(spark):
