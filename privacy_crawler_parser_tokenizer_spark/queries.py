@@ -134,11 +134,21 @@ def q_word_counts(spark, sf_dir):
 )
 def q_exact_dedup(spark, sf_dir):
     """First-writer-wins exact-text dedupe (reference policy_dict,
-    src/verification/verify.py:142-155) as a deterministic window."""
+    src/verification/verify.py:142-155).  Scale shape: the winner per
+    text group is min(doc_id), computed as a partial-aggregable groupBy
+    over sha2(text) + a join back — the shuffle carries a fixed-width
+    64-char key instead of the full document text, map-side combine
+    collapses a viral duplicate (the same boilerplate in 10^6 rows)
+    before the exchange, and AQE can split the skewed join back where
+    a row_number window over PARTITION BY text funnels the whole group
+    into one unsplittable sort partition.  doc_id is unique and text is
+    non-null in `documents`, so this equals the oracle's
+    row_number()-over-(text, doc_id) definition exactly."""
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("text").orderBy("doc_id")
-    return docs.select(
-        "doc_id", (F.row_number().over(w) > 1).alias("dup")
+    keyed = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("_h"))
+    winners = keyed.groupBy("_h").agg(F.min("doc_id").alias("_win"))
+    return keyed.join(winners, "_h").select(
+        "doc_id", (F.col("doc_id") != F.col("_win")).alias("dup")
     )
 
 

@@ -151,6 +151,18 @@ def test_new_quality_ops_stay_shuffle_free(spark):
     assert n_exchanges(plan(spark, "dup_ngram_fraction")) == 0
 
 
+def test_exact_dedup_groupby_winners_shape(spark):
+    """exact_dedup must shuffle the sha2 key, never the raw document
+    text, and use the partial-aggregable winners shape, not a window
+    sort over PARTITION BY text."""
+    from privacy_crawler_parser_tokenizer_spark.plans.introspect import n_windows
+
+    p = plan(spark, "exact_dedup")
+    assert has_partial_aggregation(p), p
+    assert n_windows(p) == 0, p
+    assert "hashpartitioning(text" not in p, p
+
+
 def test_frontier_links_chain_plan_shape(spark, tmp_path):
     """The frontier's admission dedupe (winner-per-href) and in-page
     dedupe (first occurrence per completed link) must be partial-
