@@ -1412,10 +1412,15 @@ _VERIFY_SQL = f"""
 
 
 def _doc_tokens(docs):
+    # explode_outer keeps zero-token docs as one (doc_id, t=NULL) row,
+    # so every doc survives to the per-doc aggregation and the final
+    # "restore missing docs" join is unnecessary; a NULL token never
+    # matches the vocabulary join, so such docs take the dot-IS-NULL
+    # (sim=0) branch exactly as before.
     return (
         docs.select(
             "doc_id",
-            F.explode(
+            F.explode_outer(
                 F.regexp_extract_all(F.lower("text"), F.lit(r"\w\w+"), 0)
             ).alias("t"),
         )
@@ -1436,25 +1441,35 @@ def q_verify_scores(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tok = _doc_tokens(docs)
     gt = (
-        tok.filter(F.col("doc_id") < 3)
+        tok.filter((F.col("doc_id") < 3) & F.col("t").isNotNull())
         .groupBy("t")
         .agg(F.sum("c").cast("long").alias("g"))
     )
     ga = gt.agg(F.sum(F.col("g") * F.col("g")).alias("ga"))
-    a = tok.groupBy("doc_id").agg(F.sum(F.col("c") * F.col("c")).alias("a2"))
-    sh = (
-        tok.join(F.broadcast(gt), "t")
+    # ONE pass over the corpus token counts: the full-norm term (a2,
+    # over every token) and the matched-vocabulary terms (dot/s2/gs2,
+    # formerly a second tokenize + inner join + second groupBy) fuse
+    # into a single left broadcast join + aggregation — null-skipping
+    # sums make the left join compute the inner-join sums, and `dot`
+    # stays NULL exactly when the doc shares no token with the ground
+    # truth (the sim=0 branch below).  Halves the heavy tokenize +
+    # per-doc shuffle work; the gt branch itself scans only doc_id<3
+    # (pruned at the parquet scan).
+    per_doc = (
+        tok.join(F.broadcast(gt), "t", "left")
         .groupBy("doc_id")
         .agg(
+            F.sum(F.col("c") * F.col("c")).alias("a2"),
             F.sum(F.col("c") * F.col("g")).alias("dot"),
-            F.sum(F.col("c") * F.col("c")).alias("s2"),
+            F.sum(
+                F.when(F.col("g").isNotNull(), F.col("c") * F.col("c"))
+            ).alias("s2"),
             F.sum(F.col("g") * F.col("g")).alias("gs2"),
         )
     )
     u2 = F.pow(F.log(F.lit(1.5)) + 1, 2)
     sim = (
-        a.join(sh, "doc_id", "left")
-        .crossJoin(F.broadcast(ga))
+        per_doc.crossJoin(F.broadcast(ga))
         .withColumn(
             "sim",
             F.when(F.col("dot").isNull(), F.lit(0.0)).otherwise(
@@ -1467,10 +1482,10 @@ def q_verify_scores(spark, sf_dir):
         )
         .select("doc_id", "sim")
     )
-    return (
-        docs.select("doc_id")
-        .join(sim, "doc_id", "left")
-        .select("doc_id", F.round(F.coalesce("sim", F.lit(0.0)), 6).alias("sim"))
+    # every doc_id survives the explode_outer token pipeline, so sim
+    # already covers the whole table — no restore join needed
+    return sim.select(
+        "doc_id", F.round(F.coalesce("sim", F.lit(0.0)), 6).alias("sim")
     )
 
 
