@@ -1536,28 +1536,42 @@ def q_english_gate(spark, sf_dir):
         .select(F.explode("ws").alias("w"))
         .distinct()
     )
-    hits = (
-        cand.select("doc_id", F.explode("ws").alias("w"))
-        .join(F.broadcast(dict_df), "w", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
     char_pct = F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
         F.length(F.regexp_replace("text", "[^A-Za-z \t\n]+", "")) * 100.0
         / F.length("text")
     )
+    # the per-doc scalars (token count, char ratio) ride the exploded
+    # rows into the aggregation, so the only shuffle carries
+    # (doc_id, 2 numbers) — the former shape joined the aggregated hit
+    # counts BACK onto the full documents frame, re-shuffling every
+    # text + token array through the exchange.  explode_outer keeps
+    # zero-token docs (their NULL token matches nothing; n_ws=0 takes
+    # the 0% branch).
+    ex = cand.select(
+        "doc_id",
+        F.size("ws").alias("n_ws"),
+        char_pct.alias("cp"),
+        F.explode_outer("ws").alias("w"),
+    ).join(
+        F.broadcast(dict_df.withColumn("_m", F.lit(True))), "w", "left"
+    )
     return (
-        cand.join(hits, "doc_id", "left")
+        ex.groupBy("doc_id")
+        .agg(
+            F.min("n_ws").alias("n_ws"),
+            F.min("cp").alias("cp"),
+            F.sum(F.when(F.col("_m"), 1).otherwise(0)).alias("n_hits"),
+        )
         .select(
             "doc_id",
             (
                 (
-                    F.when(F.size("ws") == 0, F.lit(0.0)).otherwise(
-                        F.coalesce("n_hits", F.lit(0)) * 100.0 / F.size("ws")
+                    F.when(F.col("n_ws") == 0, F.lit(0.0)).otherwise(
+                        F.col("n_hits") * 100.0 / F.col("n_ws")
                     )
                     >= 50
                 )
-                & (char_pct >= 85)
+                & (F.col("cp") >= 85)
             ).alias("is_en"),
         )
     )
