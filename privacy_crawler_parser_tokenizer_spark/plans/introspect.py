@@ -92,6 +92,27 @@ def n_window_group_limits(plan: str) -> int:
     return len(re.findall(r"\(\d+\) WindowGroupLimit", plan))
 
 
+def generate_inputs(plan: str) -> list[str]:
+    """The ``Input [...]`` attribute list of every Generate node.
+
+    Whatever appears here is carried through (and any expression of it
+    re-evaluated above) the explode — once per *output* row.  A wide
+    column like the full document text in a Generate input is the
+    plan-shape signature of the per-exploded-row recompute trap:
+    expressions must be projected to attributes BELOW the Generate."""
+    import re
+
+    out = []
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if re.search(r"\(\d+\) Generate\b", line):
+            for j in range(i + 1, min(i + 4, len(lines))):
+                if lines[j].startswith("Input"):
+                    out.append(lines[j].split(":", 1)[1].strip())
+                    break
+    return out
+
+
 def codegen_stage_count(plan: str) -> int:
     """Distinct whole-stage-codegen stages (formatted mode annotates
     nodes with ``[codegen id : N]``; simple mode prints

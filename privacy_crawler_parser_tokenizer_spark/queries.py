@@ -1547,11 +1547,16 @@ def q_english_gate(spark, sf_dir):
     # text + token array through the exchange.  explode_outer keeps
     # zero-token docs (their NULL token matches nothing; n_ws=0 takes
     # the 0% branch).
-    ex = cand.select(
-        "doc_id",
-        F.size("ws").alias("n_ws"),
-        char_pct.alias("cp"),
-        F.explode_outer("ws").alias("w"),
+    #
+    # n_ws/cp MUST be materialized in a projection BELOW the Generate:
+    # selecting size(ws)/regexp(text) alongside explode_outer plans them
+    # in the Project above the Generate, re-evaluating the full-text
+    # regexp once per exploded word (a measured 4-5x regression).
+    base = cand.select(
+        "doc_id", F.size("ws").alias("n_ws"), char_pct.alias("cp"), "ws"
+    )
+    ex = base.select(
+        "doc_id", "n_ws", "cp", F.explode_outer("ws").alias("w")
     ).join(
         F.broadcast(dict_df.withColumn("_m", F.lit(True))), "w", "left"
     )

@@ -151,6 +151,22 @@ def test_new_quality_ops_stay_shuffle_free(spark):
     assert n_exchanges(plan(spark, "dup_ngram_fraction")) == 0
 
 
+def test_english_gate_no_recompute_above_generate(spark):
+    """The gate's per-doc scalars (token count, char ratio) must be
+    attributes BELOW the explode: a Generate whose input carries the
+    full document text re-evaluates size(ws)/regexp(text) once per
+    exploded word (the r3 4-5x regression, commit 30ebf7d)."""
+    from privacy_crawler_parser_tokenizer_spark.plans.introspect import (
+        generate_inputs,
+    )
+
+    p = plan(spark, "english_gate")
+    gens = generate_inputs(p)
+    assert gens, p
+    for g in gens:
+        assert "text#" not in g, (g, p)
+
+
 def test_exact_dedup_groupby_winners_shape(spark):
     """exact_dedup must shuffle the sha2 key, never the raw document
     text, and use the partial-aggregable winners shape, not a window
