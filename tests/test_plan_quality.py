@@ -167,6 +167,40 @@ def test_english_gate_no_recompute_above_generate(spark):
         assert "text#" not in g, (g, p)
 
 
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "verify_scores",
+        "decontaminate",
+        "ngram_jaccard_pairs",
+        "minhash_bands",
+        "sentence_pipeline",
+        "simhash_candidates",
+        "bpe_token_counts",
+    ],
+)
+def test_no_wide_passthrough_above_generate(spark, qname):
+    """Generalized r3-regression sweep: a wide column (full text) may
+    feed a Generate's generator expression (evaluated once per input
+    row) but must never ride through a Generate unreferenced — that is
+    the signature of per-exploded-row recompute or row-width blowup."""
+    import re
+
+    p = plan(spark, qname)
+    lines = p.splitlines()
+    wide = re.compile(r"(?:text|html|content|body)#\d+")
+    for i, line in enumerate(lines):
+        if re.search(r"\(\d+\) Generate\b", line):
+            inp = args = ""
+            for j in range(i + 1, min(i + 5, len(lines))):
+                if lines[j].startswith("Input"):
+                    inp = lines[j]
+                if lines[j].startswith("Arguments"):
+                    args = lines[j]
+            passthru = [c for c in set(wide.findall(inp)) if c not in args]
+            assert not passthru, (qname, passthru, inp, args)
+
+
 def test_exact_dedup_groupby_winners_shape(spark):
     """exact_dedup must shuffle the sha2 key, never the raw document
     text, and use the partial-aggregable winners shape, not a window
