@@ -417,7 +417,8 @@ class FrontierCrawler:
                  robots: dict[str, str] | None = None,
                  robots_fetch_fn=None,
                  config: FrontierConfig | None = None,
-                 priority_expr=None):
+                 priority_expr=None,
+                 debug_invariants: bool = False):
         self.spark = spark
         self.wh = Warehouse(warehouse_dir)
         self.seeds = list(seeds)
@@ -463,6 +464,10 @@ class FrontierCrawler:
         # frames so plan-quality tests can introspect the optimized plan
         # (explain only — never triggers execution)
         self.plan_probe = None
+        # debug seam: per-round assertions of the two invariants the
+        # admission groupBy's argmin correctness rests on (extra jobs —
+        # parity tests only, never production)
+        self.debug_invariants = debug_invariants
 
     def _broadcast_filter(self):
         """Broadcast the current filter, destroying the previous round's
@@ -727,6 +732,21 @@ class FrontierCrawler:
         # occurrences) ships as one partial row per task instead of
         # funneling every occurrence into one skewed sort partition,
         # and the cached frame shrinks to unique hrefs.
+        if self.debug_invariants:
+            # (1) one fetched page per seed per round => (seed_rank,
+            # page_pos) unique in-round, so min(struct(...)) IS the old
+            # window's probe_rank==1 row; (2) hist_seen is a pure
+            # function of href (Bloom verdict + seen membership), so
+            # max() over the group is exact, not a vote.  A future
+            # fetcher/probe change violating either fails loudly here.
+            assert cand.groupBy("seed_rank", "page_pos").count().filter(
+                "count > 1"
+            ).isEmpty(), "admission invariant: (seed_rank, page_pos) not unique in-round"
+            assert cand2.groupBy("href").agg(
+                F.countDistinct("hist_seen").alias("k")
+            ).filter("k > 1").isEmpty(), (
+                "admission invariant: hist_seen not href-constant"
+            )
         _admission = cand2.groupBy("href").agg(
             F.min(
                 F.struct("seed_rank", "page_pos", "full_url")

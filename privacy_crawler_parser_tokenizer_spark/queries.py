@@ -141,11 +141,15 @@ def q_exact_dedup(spark, sf_dir):
     collapses a viral duplicate (the same boilerplate in 10^6 rows)
     before the exchange, and AQE can split the skewed join back where
     a row_number window over PARTITION BY text funnels the whole group
-    into one unsplittable sort partition.  doc_id is unique and text is
-    non-null in `documents`, so this equals the oracle's
-    row_number()-over-(text, doc_id) definition exactly."""
+    into one unsplittable sort partition.  NULL text is coalesced to a
+    sentinel before hashing so such rows still group (an inner join on
+    a NULL hash would silently drop them, diverging from the oracle's
+    window which keeps NULL-text rows as one partition)."""
     docs = _t(spark, sf_dir, "documents")
-    keyed = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("_h"))
+    keyed = docs.select(
+        "doc_id",
+        F.sha2(F.coalesce("text", F.lit("\0null")), 256).alias("_h"),
+    )
     winners = keyed.groupBy("_h").agg(F.min("doc_id").alias("_win"))
     return keyed.join(winners, "_h").select(
         "doc_id", (F.col("doc_id") != F.col("_win")).alias("dup")
@@ -1764,10 +1768,15 @@ def _pii_sql() -> str:
     expr = "text"
     counts = []
     for label, pattern, repl in PII_PATTERNS:
+        # escape for the single-quoted SQL literal: a future pattern
+        # containing a quote must not break (or silently diverge) the
+        # oracle — test_scrub.py asserts engine parity per pattern
+        q_pat = pattern.replace("'", "''")
+        q_repl = repl.replace("'", "''")
         counts.append(
-            f"CAST(len(regexp_extract_all({expr}, '{pattern}')) AS BIGINT) AS n_{label}"
+            f"CAST(len(regexp_extract_all({expr}, '{q_pat}')) AS BIGINT) AS n_{label}"
         )
-        expr = f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+        expr = f"regexp_replace({expr}, '{q_pat}', '{q_repl}', 'g')"
     return (
         f"SELECT doc_id, {expr} AS redacted, {', '.join(counts)} FROM documents"
     )

@@ -51,6 +51,7 @@ def run_frontier(spark, tmpdir, pages, seeds, *, fetcher=None, **kw):
         dictionary=DICT,
         robots=kw.pop("robots", None),
         config=cfg,
+        debug_invariants=kw.pop("debug_invariants", False),
     )
     fc.run()
     return fc
@@ -342,7 +343,12 @@ def test_frontier_adversarial_web(spark, tmp_path):
     }
     seeds = ["a.com", "b.com"]
     res = run_oracle(pages, seeds, max_depth=3)
-    fc = run_frontier(spark, tmp_path / "wh", pages, seeds, max_depth=3)
+    # debug_invariants asserts per round that (seed_rank, page_pos) is
+    # unique and hist_seen is href-constant — the two preconditions the
+    # admission argmin rests on (ADVICE r3)
+    fc = run_frontier(
+        spark, tmp_path / "wh", pages, seeds, max_depth=3, debug_invariants=True
+    )
     assert_matches_oracle(fc, res)
     # the quirks actually fired: the cycle back to a.com's landing
     # re-extracts it, bumping every landing href once; the two distinct

@@ -166,3 +166,28 @@ def test_decontaminate_real_docs_no_self_contamination(spark):
         if len(r["text"].split()) >= 13
     }
     assert long_enough <= flagged
+
+
+def test_pii_patterns_compile_both_engines():
+    """Every PII pattern must compile under Python re AND DuckDB's RE2,
+    and survive the single-quote escaping used to inline it into the
+    oracle SQL literal (ADVICE r3: a quote in a future pattern must fail
+    loudly here, not silently diverge the oracle)."""
+    import re as _re
+
+    import duckdb
+
+    from privacy_crawler_parser_tokenizer_spark.operators.scrub import (
+        PII_PATTERNS,
+    )
+
+    con = duckdb.connect()
+    for label, pattern, repl in PII_PATTERNS:
+        _re.compile(pattern)  # Python/JVM-compatible source
+        q_pat = pattern.replace("'", "''")
+        q_repl = repl.replace("'", "''")
+        (out,) = con.execute(
+            f"SELECT regexp_replace('probe 555-867-5309 x@y.com', "
+            f"'{q_pat}', '{q_repl}', 'g')"
+        ).fetchone()
+        assert isinstance(out, str), (label, out)
