@@ -468,6 +468,35 @@ class FrontierCrawler:
         # admission groupBy's argmin correctness rests on (extra jobs —
         # parity tests only, never production)
         self.debug_invariants = debug_invariants
+        # one long-lived driver thread: overlaps the per-round stats job
+        # with step-4/5 plan construction (the round's driver floor)
+        self._driver_pool = ThreadPoolExecutor(max_workers=1)
+
+    def _pin(self, df: DataFrame) -> DataFrame:
+        """persist + plan-truncate: returns a DataFrame whose logical
+        plan is the ONE-NODE ``InMemoryRelation`` leaf of the cached
+        query, so every downstream op re-analyzes a leaf instead of the
+        round's full lineage.  This is the columnar-cache twin of
+        ``localCheckpoint`` plan truncation without its eager ``toRdd``
+        compile (~0.5 s/frame at the round floor) or its row-object
+        block storage (2x slower than columnar at 50k-URL rounds —
+        BENCH/BASELINE.md e8a82b9 A/B).  Falls back to a plain persist
+        if the private seam is unavailable.  Unpersist through
+        ``_pin_original`` — the wrapped plan no longer matches the
+        cache entry."""
+        df = df.persist()
+        try:
+            cached = df._jdf.queryExecution().withCachedData()
+            if cached.nodeName() != "InMemoryRelation":
+                return df
+            jnew = self.spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                self.spark._jsparkSession, cached
+            )
+            out = type(df)(jnew, self.spark)
+            out._pin_original = df
+            return out
+        except Exception:
+            return df
 
     def _broadcast_filter(self):
         """Broadcast the current filter, destroying the previous round's
@@ -618,7 +647,7 @@ class FrontierCrawler:
         truncate = n_active <= cfg.lineage_truncate_max
 
         def _stash(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=False) if truncate else df.persist()
+            return df.localCheckpoint(eager=False) if truncate else self._pin(df)
 
         # 1. resolve each due domain's single request url ------------------
         link_at = links.select(
@@ -641,7 +670,8 @@ class FrontierCrawler:
             requests = requests.withColumn(
                 "robots_ok", self.robots_udf(F.col("url"))
             )
-        requests = requests.persist()  # granted AND blocked branches + state update read this
+        # granted AND blocked branches + state update read this
+        requests = self._pin(requests)
 
         # 2. politeness window over robots-allowed requests, granted by
         #    (priority, seed_rank) per host — the partitioned priority
@@ -688,12 +718,19 @@ class FrontierCrawler:
             "expanding",
             (F.col("contents") != "") & (is_landing | depth_ok),
         ))
-        # materialize (fetch/UDF run exactly once) + round stats in one job
-        _stats = processed.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum(F.size("hrefs")), F.lit(0)).alias("n_cand"),
-        ).collect()[0]
-        n_granted, n_cand = int(_stats["n"]), int(_stats["n_cand"])
+        # materialize (fetch/UDF run exactly once) + round stats in one
+        # job — submitted on a background thread so the JVM executes the
+        # fetch while the driver keeps building step-4/5 plans.  The
+        # lazy-localCheckpoint compiles (toRdd at creation) are the
+        # dominant per-round driver fixed cost at small rounds; hiding
+        # the stats job behind them shrinks the round floor.  Nothing
+        # before the `pending` assembly reads the counts.
+        _stats_fut = self._driver_pool.submit(
+            lambda: processed.agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum(F.size("hrefs")), F.lit(0)).alias("n_cand"),
+            ).collect()[0]
+        )
         _t_fetch = _time.monotonic()
 
         # 4. candidate admission: Bloom pre-filter + exact anti path -------
@@ -788,7 +825,8 @@ class FrontierCrawler:
             )
             .withColumn("pos", (F.col("_base") + F.row_number().over(w_append) - 1).cast("int"))
             .select("seed_rank", "pos", F.col("completed").alias("url"))
-        ).persist()
+        )
+        links_delta = self._pin(links_delta)
         if self.plan_probe is not None:
             self.plan_probe("links_delta", links_delta)
 
@@ -800,6 +838,13 @@ class FrontierCrawler:
         # snapshot jobs overlap instead of serializing their scheduling +
         # commit latency — the dominant per-round fixed cost at small
         # rounds (data volume dominates at production rounds).
+        # join the overlapped stats job: counts are first needed for the
+        # n_cand write gate just below and the broadcast decision in
+        # step 7 (same values, same plans as the former eager collect)
+        _stats = _stats_fut.result()
+        n_granted, n_cand = int(_stats["n"]), int(_stats["n_cand"])
+        _t_stats = _time.monotonic()
+
         pending: list[tuple[str, DataFrame]] = []
         links_obs: Observation | None = None
         if n_cand > 0:
@@ -1094,11 +1139,10 @@ class FrontierCrawler:
         if cfg.compact_every and (rnd + 1) % cfg.compact_every == 0:
             for t in self._delta_tables:  # bounded multi-path read fan-in
                 wh.compact(spark, t, rnd)
-        processed.unpersist()
-        cand3.unpersist()
-        links_delta.unpersist()
-        visits.unpersist()
-        requests.unpersist()
+        for _f in (processed, cand3, links_delta, visits, requests):
+            # _pin-wrapped frames unpersist through the original — the
+            # truncated plan no longer matches the cache entry
+            getattr(_f, "_pin_original", _f).unpersist()
         if truncate:
             # DataFrame.unpersist() cannot reach localCheckpoint block
             # storage: free this round's remaining blocks by id (all
@@ -1111,8 +1155,9 @@ class FrontierCrawler:
         self.round_seconds.append(_t_end - _t0)
         self.round_trace.append({
             "round": rnd, "granted": n_granted,
-            "fetch_agg": round(_t_fetch - _t0, 3),
-            "admission": round(_t_plan - _t_fetch, 3),
+            "fetch_agg": round(_t_fetch - _t0, 3),   # build + submit (job overlaps step 4)
+            "stats_join": round(_t_stats - _t_fetch, 3),  # step-4 build + any residual job wait
+            "admission": round(_t_plan - _t_stats, 3),
             "write_wave": round(_t_wave - _t_plan, 3),
             "commit_tail": round(_t_end - _t_wave, 3),
             "wave_jobs": wave_secs,
