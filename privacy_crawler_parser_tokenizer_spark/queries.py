@@ -1163,57 +1163,116 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
-@query(
-    "ivf_topk",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8),
-    assign AS (
-      SELECT vec_id, cid FROM (
-        SELECT e.vec_id, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
-        FROM e, c) WHERE rn = 1
-    ),
-    q AS (SELECT vec_id AS qid, cid FROM assign WHERE vec_id >= 8 AND vec_id < 18)
-    SELECT qid AS vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
-      SELECT q.qid, e.vec_id AS neighbor_id,
-             row_number() OVER (PARTITION BY q.qid
-               ORDER BY list_cosine_similarity(qe.emb, e.emb) DESC, e.vec_id) AS rank
-      FROM q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.qid
-      JOIN e ON e.vec_id = a.vec_id
-      JOIN e qe ON qe.vec_id = q.qid)
-    WHERE rank <= 3
-    """,
+_INT_D = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
 )
+
+
+def _lloyd_iter_sql(prev: str, assign: str, cent: str) -> str:
+    """One DuckDB Lloyd iteration: assign to nearest `prev` centroid
+    (exact int64 L2, ties on lowest cid), then per-dimension
+    floor(sum/count) means; empty cells keep the previous centroid —
+    mirrors operators/kmeans.py exactly."""
+    return f"""
+    {assign} AS (
+      SELECT vec_id, cid, q FROM (
+        SELECT e.vec_id, c.cid, e.q,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_INT_D.format(a='e.q', b='c.cemb')}, c.cid) AS rn
+        FROM e, {prev} c) WHERE rn = 1
+    ),
+    {cent}_s AS (
+      SELECT cid, i, CAST(floor(sum(v)::DOUBLE / count(*)) AS BIGINT) AS cv
+      FROM (SELECT cid, unnest(q) AS v, generate_subscripts(q, 1) AS i
+            FROM {assign})
+      GROUP BY cid, i
+    ),
+    {cent}_m AS (SELECT cid, list(cv ORDER BY i) AS cemb
+                 FROM {cent}_s GROUP BY cid),
+    {cent} AS (
+      SELECT p.cid, coalesce(m.cemb, p.cemb) AS cemb
+      FROM {prev} p LEFT JOIN {cent}_m m USING (cid)
+    )"""
+
+
+def _ivf_sql() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid, q AS cemb FROM e WHERE vec_id < 8),
+    {_lloyd_iter_sql('c0', 'a1', 'c1')},
+    {_lloyd_iter_sql('c1', 'a2', 'c2')},
+    af AS (
+      SELECT vec_id, cid, q FROM (
+        SELECT e.vec_id, c.cid, e.q,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_INT_D.format(a='e.q', b='c.cemb')}, c.cid) AS rn
+        FROM e, c2 c) WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS qid, cid, q AS qq FROM af
+           WHERE vec_id >= 8 AND vec_id < 18)
+    SELECT qid AS vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT qs.qid, af.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY qs.qid
+               ORDER BY {_INT_D.format(a='qs.qq', b='af.q')}, af.vec_id) AS rank
+      FROM qs JOIN af ON af.cid = qs.cid AND af.vec_id <> qs.qid)
+    WHERE rank <= 3
+    """
+
+
+@query("ivf_topk", _ivf_sql())
 def q_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: coarse quantization against 8 fixed centroids
-    (vec_id < 8), then exact top-k inside the query's own cell only —
-    the scale path where a full scan is replaced by one-cell probes."""
+    """IVF ANN with a TRAINED coarse quantizer: k=8 centroids learned
+    by two distributed Lloyd iterations (operators/kmeans.py —
+    broadcast centroids -> crossJoin assign -> groupBy argmin ->
+    floor-mean update; only k x dim ints cross the driver per
+    iteration), seeded from the first 8 vectors; then exact top-k
+    inside the query's own cell only — the scale path where a full
+    scan is replaced by one-cell probes.  All arithmetic is int64
+    milli-space, hash-exact against the DuckDB Lloyd oracle."""
+    from .operators.kmeans import (
+        _centroid_df,
+        int_sqdist,
+        lloyd_int,
+        quantize_milli,
+    )
+
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", _unit_emb(F.col("embedding").cast("array<double>")).alias("emb")
+        "vec_id", quantize_milli(F.col("embedding")).alias("q")
     )
-    cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    init = [
+        r["q"]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    cents = lloyd_int(emb, k=8, dim=64, iters=2, init=init)
+    cent_df = _centroid_df(spark, list(enumerate(cents)))
+    scored = emb.join(F.broadcast(cent_df)).withColumn(
+        "_d", int_sqdist(F.col("q"), F.col("cemb"))
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "cid")
     assign = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("_cos", _dot(F.col("emb"), F.col("cemb")))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .filter("_rn = 1")
-        .select("vec_id", "cid", "emb")
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("_d", "cid")).alias("_w"), F.first("q").alias("q"))
+        .select("vec_id", F.col("_w.cid").alias("cid"), "q")
     )
-    q = assign.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 18)).select(
-        F.col("vec_id").alias("qid"), F.col("cid").alias("qcid"), F.col("emb").alias("qe")
+    qs = assign.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 18)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("cid").alias("qcid"),
+        F.col("q").alias("qq"),
     )
-    cand = q.join(
-        assign.select(F.col("vec_id").alias("neighbor_id"), "cid", F.col("emb").alias("ne")),
+    cand = assign.select(
+        F.col("vec_id").alias("neighbor_id"), "cid", F.col("q").alias("nq")
+    ).join(
+        F.broadcast(qs),
         (F.col("cid") == F.col("qcid")) & (F.col("neighbor_id") != F.col("qid")),
     )
-    w_rank = Window.partitionBy("qid").orderBy(F.desc("_cos"), "neighbor_id")
+    w_rank = Window.partitionBy("qid").orderBy("_d", "neighbor_id")
     return (
-        cand.withColumn("_cos", _dot(F.col("qe"), F.col("ne")))
+        cand.withColumn("_d", int_sqdist(F.col("qq"), F.col("nq")))
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= 3)
         .select(F.col("qid").alias("vec_id"), "neighbor_id", "rank")
@@ -1222,9 +1281,36 @@ def q_ivf_topk(spark, sf_dir):
 
 _PQ_SQL_D = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2])))"
 
-@query(
-    "pq_topk",
-    f"""
+
+def _pq_lloyd_iter_sql(prev: str, assign: str, cent: str) -> str:
+    """One per-subspace DuckDB Lloyd iteration over ALL subvectors
+    (assign to nearest codeword of `prev` within the same m; then
+    floor(sum/count) means per (m, cid); empty codewords persist) —
+    mirrors operators/kmeans.py lloyd_int_grouped exactly."""
+    return f"""
+    {assign} AS (
+      SELECT vec_id, m, cid, sv FROM (
+        SELECT s.vec_id, s.m, w.cid, s.sv,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {_PQ_SQL_D.format(a="s.sv", b="w.cv")}, w.cid) AS rn
+        FROM sub s JOIN {prev} w ON s.m = w.m) WHERE rn = 1
+    ),
+    {cent}_s AS (
+      SELECT m, cid, i, CAST(floor(sum(v)::DOUBLE / count(*)) AS BIGINT) AS cv
+      FROM (SELECT m, cid, unnest(sv) AS v, generate_subscripts(sv, 1) AS i
+            FROM {assign})
+      GROUP BY m, cid, i
+    ),
+    {cent}_m AS (SELECT m, cid, list(cv ORDER BY i) AS cv
+                 FROM {cent}_s GROUP BY m, cid),
+    {cent} AS (
+      SELECT p.m, p.cid, coalesce(n.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN {cent}_m n ON p.m = n.m AND p.cid = n.cid
+    )"""
+
+
+def _pq_sql() -> str:
+    return f"""
     WITH e AS (
       SELECT vec_id,
              list_transform(embedding::DOUBLE[],
@@ -1235,36 +1321,42 @@ _PQ_SQL_D = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-
       SELECT vec_id, t.m AS m, q[t.m*16+1 : t.m*16+16] AS sv
       FROM e, (VALUES (0), (1), (2), (3)) t(m)
     ),
-    cw AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < 16),
+    w0 AS (SELECT CAST(vec_id AS INT) AS cid, m, sv AS cv
+           FROM sub WHERE vec_id < 16),
+    {_pq_lloyd_iter_sql('w0', 'p1', 'w1')},
+    {_pq_lloyd_iter_sql('w1', 'p2', 'w2')},
     db AS (SELECT vec_id, m, sv FROM sub WHERE vec_id >= 16),
     codes AS (
       SELECT vec_id, m, cid FROM (
-        SELECT db.vec_id, db.m, cw.cid,
+        SELECT db.vec_id, db.m, w2.cid,
                row_number() OVER (PARTITION BY db.vec_id, db.m
-                 ORDER BY {_PQ_SQL_D.format(a="db.sv", b="cw.cv")}, cw.cid) AS rn
-        FROM db JOIN cw ON db.m = cw.m) WHERE rn = 1
+                 ORDER BY {_PQ_SQL_D.format(a="db.sv", b="w2.cv")}, w2.cid) AS rn
+        FROM db JOIN w2 ON db.m = w2.m) WHERE rn = 1
     ),
     qs AS (SELECT vec_id AS qid, m, sv AS qv FROM sub
            WHERE vec_id >= 16 AND vec_id < 26),
     parts AS (
       SELECT qs.qid, codes.vec_id AS nid,
-             {_PQ_SQL_D.format(a="qs.qv", b="cw.cv")} AS d
+             {_PQ_SQL_D.format(a="qs.qv", b="w2.cv")} AS d
       FROM qs
       JOIN codes ON qs.m = codes.m AND codes.vec_id <> qs.qid
-      JOIN cw ON cw.m = codes.m AND cw.cid = codes.cid
+      JOIN w2 ON w2.m = codes.m AND w2.cid = codes.cid
     ),
     adc AS (SELECT qid, nid, CAST(sum(d) AS BIGINT) AS dist
             FROM parts GROUP BY qid, nid)
     SELECT qid AS vec_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
       SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
       FROM adc) WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("pq_topk", _pq_sql())
 def q_pq_topk(spark, sf_dir):  # noqa: C901
     """Product-quantization ANN (Jegou et al. 2011): 4 subspaces x 16
-    deterministic codewords (the first 16 vectors' subvectors — the
-    'trained' codebook stand-in, as ivf_topk does for its coarse
-    centroids), asymmetric-distance top-5.
+    codewords TRAINED by two distributed Lloyd iterations per subspace
+    (operators/kmeans.py lloyd_int_grouped — all 4 codebooks learned in
+    one corpus scan per iteration), seeded from the first 16 vectors'
+    subvectors; asymmetric-distance top-5.
 
     Exactness across engines: embeddings quantize ONCE to integer
     milli-units (floor(x*1000+0.5) — floor is IEEE-exact everywhere),
@@ -1290,8 +1382,33 @@ def q_pq_topk(spark, sf_dir):  # noqa: C901
         r.vec_id: np.array(r.q, dtype=np.int64)
         for r in emb.filter(F.col("vec_id") < 26).collect()
     }
-    cw = np.stack([first[i] for i in range(K)])          # K x 64
-    cw_sub = cw.reshape(K, M, SD).transpose(1, 0, 2)     # M x K x SD
+    # train the codebook: 2 Lloyd iterations per subspace over ALL
+    # subvectors, seeded with the first 16 vectors' subvectors
+    from .operators.kmeans import lloyd_int_grouped
+
+    sub_df = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("q", m * SD + 1, SD).alias("sv"),
+                    )
+                    for m in range(M)
+                ]
+            )
+        ).alias("_e"),
+    ).select("vec_id", F.col("_e.m").alias("m"), F.col("_e.sv").alias("sv"))
+    init = {
+        m: [first[i].reshape(M, SD)[m].tolist() for i in range(K)]
+        for m in range(M)
+    }
+    trained = lloyd_int_grouped(sub_df, k=K, dim=SD, iters=2, init=init)
+    cw_sub = np.array(
+        [[trained[m][cid] for cid in range(K)] for m in range(M)],
+        dtype=np.int64,
+    )                                                    # M x K x SD
     # per-query ADC lookup tables: qid -> M x K int64
     tables = {
         qid: np.array(
