@@ -134,14 +134,22 @@ def test_verify_scores_matches_kernel(spark):
 
 
 def test_fetch_stage_salts_by_host_hash(spark):
-    """The fetch repartition key must be a salted host-hash (north
-    rule): pmod(hash(host, round)) present in the exchange."""
+    """The fetch repartition key must be the RAW salted per-URL
+    host-hash (north rule + tools/bench_hostskew.py): hash(host,
+    round, url) in the exchange, with NO pmod pre-bucketing (pre-pmod
+    re-hashes P small ints into P buckets — balls-in-bins clumps) and
+    the url column present in the key (host-only keys put a hot host
+    in one partition: measured straggler ratio 6.1-6.3 vs 1.05)."""
     from privacy_crawler_parser_tokenizer_spark.plans.frontier import FixtureFetcher
 
     pages = spark.createDataFrame([("http://a.com", "<p>x</p>")], "url string, html string")
     reqs = spark.createDataFrame([("http://a.com",)], "url string")
     plan = formatted_plan(FixtureFetcher(pages, fetch_partitions=4).fetch(reqs, 7))
-    assert "pmod" in plan and "hash" in plan, plan
+    spec = [ln for ln in plan.splitlines() if "hashpartitioning(hash(" in ln]
+    assert spec, plan
+    assert "pmod" not in spec[0], spec[0]
+    # raw url column rides the key next to the round salt: ", 7, url#"
+    assert ", 7, url#" in spec[0], spec[0]
 
 
 def test_new_quality_ops_stay_shuffle_free(spark):
