@@ -93,9 +93,18 @@ def decode_png(data: bytes) -> np.ndarray:
         raise PngError("interlaced (Adam7) not supported")
     if w == 0 or h == 0:
         raise PngError("zero dimension")
+    return decode_idat(bytes(idat), w, h, color, plte)
+
+
+def decode_idat(zdata: bytes, w: int, h: int, color: int,
+                plte: bytes | None = None) -> np.ndarray:
+    """Decode one zlib'd filtered-scanline stream (the body of IDAT —
+    or of an APNG fdAT frame, which reuses the identical encoding) to
+    a (h, w, channels) uint8 array.  Shared by ``decode_png`` and
+    ``core.apng.decode_apng``."""
     ch = _CHANNELS[color]
     stride = w * ch
-    raw = zlib.decompress(bytes(idat))
+    raw = zlib.decompress(zdata)
     if len(raw) != (stride + 1) * h:
         raise PngError("bad decompressed length")
 

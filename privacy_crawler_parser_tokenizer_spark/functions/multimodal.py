@@ -17,8 +17,9 @@ decode/resize/encode for all six) -> ``FakeCodec``, a deterministic,
 clearly-marked stand-in for the remaining formats (webp/video
 containers) that derives dimensions/features from a content hash so
 tests are reproducible.  ``frame_sample_media`` decodes REAL frames
-from animated GIFs (the one multi-frame container expressible without
-external libs) and keeps the labeled byte-window stub for the rest;
+from animated GIFs and APNGs (``core/apng.py`` — the two multi-frame
+containers expressible without external libs) and yields one labeled
+``ok=false`` NULL-content row for the rest (never fake frame bytes);
 ``media_features`` computes REAL PCM features (duration/RMS/peak/ZCR +
 spectral bands) for WAV payloads and falls back to the byte-histogram
 embedding otherwise.  Swapping in a full decoder touches only
@@ -39,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core import bitmaps, gif, jpeg, png, wav
+from ..core import apng, bitmaps, gif, jpeg, png, wav
 
 try:  # full external codec, absent in this container; probed ONCE —
     # a failed import is not cached by Python, so probing per row
@@ -298,18 +299,19 @@ FRAMES_SCHEMA = (
 def frame_sample_media(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Sample up to ``n_frames`` evenly spaced frames per media item.
 
-    Animated-GIF payloads take the REAL path end to end: ``core/gif.py``
-    decodes and composites every frame (LZW, interlace, transparency,
-    disposal), evenly spaced frame indices are selected across the
-    animation, and each sampled frame ships out PNG-encoded — output
-    ``content`` round-trips through ``core/png.py`` to the exact
+    Animated-GIF and APNG payloads take the REAL path end to end:
+    ``core/gif.py`` / ``core/apng.py`` decode and composite every frame
+    (GIF: LZW, interlace, transparency, disposal; APNG: fcTL regions,
+    dispose/blend ops), evenly spaced frame indices are selected across
+    the animation, and each sampled frame ships out PNG-encoded —
+    output ``content`` round-trips through ``core/png.py`` to the exact
     composited pixels.  ``frame_index``/``n_frames`` carry the sampled
     position and true frame count; single-frame stills yield one row.
 
-    Other formats (no video codec in this container) keep the labeled
-    stub: one row per requested frame with ``ok=false``, geometry 0x0,
-    and a deterministic byte window at the ``frame_sample_offsets``
-    position so downstream byte accounting stays exercised."""
+    Undecodable formats (webp / real video containers — no codec in
+    this container) yield exactly ONE labeled row: ``ok=false``,
+    geometry 0x0, ``frame_index``/``n_frames`` 0, content NULL — no
+    code path emits fake frame bytes."""
 
     def run(batches):
         for pdf in batches:
@@ -321,7 +323,10 @@ def frame_sample_media(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 try:
                     frames = gif.decode_gif(raw)
                 except gif.GifError:
-                    frames = None
+                    try:
+                        frames = apng.decode_apng(raw)
+                    except apng.ApngError:
+                        frames = None
                 if frames is not None:
                     total, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
                     k = min(n_frames, total)
@@ -334,13 +339,7 @@ def frame_sample_media(media: DataFrame, n_frames: int = 4) -> DataFrame:
                              png.encode_png(frames[fi]), True)
                         )
                 else:
-                    n_b = len(raw)
-                    for i in range(n_frames):
-                        off = n_b * i // n_frames
-                        rows.append(
-                            (doc_id, ref, i, n_frames, 0, 0,
-                             raw[off : off + 64], False)
-                        )
+                    rows.append((doc_id, ref, 0, 0, 0, 0, None, False))
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "media_ref", "frame_index", "n_frames",

@@ -262,8 +262,9 @@ def test_frame_sample_media_real_gif_frames(spark):
         px = png.decode_png(bytes(r["content"]))
         assert (px == frames[r["frame_index"]]).all()
     stub = [r for r in out if r["doc_id"] == "d2"]
-    assert len(stub) == 4 and not any(r["ok"] for r in stub)
-    assert {r["frame_index"] for r in stub} == {0, 1, 2, 3}
+    # undecodable format: exactly one labeled row, no fake frame bytes
+    assert len(stub) == 1 and not stub[0]["ok"]
+    assert stub[0]["content"] is None and stub[0]["n_frames"] == 0
 
 
 def test_frame_sample_still_image_single_row(spark):
