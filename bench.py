@@ -6,6 +6,13 @@ Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect).  Set BENCH_QUERIES=q1,q2 to subset.  Scaling
 efficiency (N vs 4N cores) is measured separately by
 tools/bench_scaling.py and recorded in BENCH/BASELINE.md.
+
+The suite runs BENCH_REPEATS (default 2) full interleaved passes and
+reports per-query BEST-of-N: this VM throttles erratically (documented
+3.5x swings pinned to single queries — see BENCH/BASELINE.md), so a
+single pass regularly misattributes a stall to whichever query it
+landed on; interleaving passes across the suite makes one throttle
+window cost one pass of one query, not the record.
 """
 
 from __future__ import annotations
@@ -97,13 +104,18 @@ def main() -> None:
 
 
 def _run_suite(spark, names, qs) -> None:
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name in names:
-        try:
-            per_query[name] = round(run_query(spark, name, qs[name]), 3)
-        except Exception as e:  # one bad query must not kill the suite
-            failures[name] = f"{type(e).__name__}: {e}"[:200]
+    for _pass in range(repeats):
+        for name in names:
+            if name in failures:
+                continue
+            try:
+                sec = round(run_query(spark, name, qs[name]), 3)
+                per_query[name] = min(per_query.get(name, sec), sec)
+            except Exception as e:  # one bad query must not kill the suite
+                failures[name] = f"{type(e).__name__}: {e}"[:200]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -113,6 +125,8 @@ def _run_suite(spark, names, qs) -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
+        "passes": repeats,
+        "protocol": "interleaved best-of-N per query",
     }
     if failures:
         out["failures"] = failures
