@@ -14,12 +14,13 @@ codecs (``core/png.py`` — RFC 2083 PNG; ``core/bitmaps.py`` — BMP and
 netpbm PPM/PGM; ``core/jpeg.py`` — baseline JPEG; ``core/gif.py`` —
 GIF87a/89a incl. animation; ``core/wav.py`` — RIFF PCM audio: REAL
 decode/resize/encode for all six) -> ``FakeCodec``, a deterministic,
-clearly-marked stand-in for the remaining formats (webp/video
-containers) that derives dimensions/features from a content hash so
-tests are reproducible.  ``frame_sample_media`` decodes REAL frames
-from animated GIFs and APNGs (``core/apng.py`` — the two multi-frame
-containers expressible without external libs) and yields one labeled
-``ok=false`` NULL-content row for the rest (never fake frame bytes);
+clearly-marked stand-in for the one remaining format (webp — its VP8/
+VP8L bitstreams need an external entropy decoder) that derives
+dimensions/features from a content hash so tests are reproducible.
+``frame_sample_media`` decodes REAL frames from animated GIFs, APNGs,
+and AVI videos (``core/avi.py`` — RIFF container with MJPEG frames via
+the baseline-JPEG DCT path, or uncompressed DIB frames) and yields one
+labeled ``ok=false`` NULL-content row for the rest (never fake bytes);
 ``media_features`` computes REAL PCM features (duration/RMS/peak/ZCR +
 spectral bands) for WAV payloads and falls back to the byte-histogram
 embedding otherwise.  Swapping in a full decoder touches only
@@ -40,7 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core import apng, bitmaps, gif, jpeg, png, wav
+from ..core import apng, avi, bitmaps, gif, jpeg, png, wav
 
 try:  # full external codec, absent in this container; probed ONCE —
     # a failed import is not cached by Python, so probing per row
@@ -115,6 +116,10 @@ def _decode_one(content: bytes) -> tuple[int, int, int, bool]:
         frames, channels, _rate = wav.wav_meta(content)
         return frames, 1, channels, True
     except wav.WavError:
+        pass
+    try:  # REAL AVI video: container-header geometry (no frame decode)
+        return (*avi.avi_meta(content), True)
+    except avi.AviError:
         pass
     w, h, c = FakeCodec.decode(content)
     return w, h, c, False
@@ -299,19 +304,20 @@ FRAMES_SCHEMA = (
 def frame_sample_media(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Sample up to ``n_frames`` evenly spaced frames per media item.
 
-    Animated-GIF and APNG payloads take the REAL path end to end:
-    ``core/gif.py`` / ``core/apng.py`` decode and composite every frame
-    (GIF: LZW, interlace, transparency, disposal; APNG: fcTL regions,
-    dispose/blend ops), evenly spaced frame indices are selected across
+    Animated-GIF, APNG, and AVI payloads take the REAL path end to end:
+    ``core/gif.py`` / ``core/apng.py`` / ``core/avi.py`` decode every
+    frame (GIF: LZW, interlace, transparency, disposal; APNG: fcTL
+    regions, dispose/blend ops; AVI: RIFF walk + MJPEG-via-DCT or
+    uncompressed DIB), evenly spaced frame indices are selected across
     the animation, and each sampled frame ships out PNG-encoded —
     output ``content`` round-trips through ``core/png.py`` to the exact
-    composited pixels.  ``frame_index``/``n_frames`` carry the sampled
+    decoded pixels.  ``frame_index``/``n_frames`` carry the sampled
     position and true frame count; single-frame stills yield one row.
 
-    Undecodable formats (webp / real video containers — no codec in
-    this container) yield exactly ONE labeled row: ``ok=false``,
-    geometry 0x0, ``frame_index``/``n_frames`` 0, content NULL — no
-    code path emits fake frame bytes."""
+    Undecodable formats (webp / non-MJPEG video codecs — no entropy
+    decoder in this container) yield exactly ONE labeled row:
+    ``ok=false``, geometry 0x0, ``frame_index``/``n_frames`` 0, content
+    NULL — no code path emits fake frame bytes."""
 
     def run(batches):
         for pdf in batches:
@@ -320,13 +326,17 @@ def frame_sample_media(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 pdf["doc_id"], pdf["media_ref"], pdf["content"]
             ):
                 raw = bytes(c) if c is not None else b""
-                try:
-                    frames = gif.decode_gif(raw)
-                except gif.GifError:
+                frames = None
+                for decode, err in (
+                    (gif.decode_gif, gif.GifError),
+                    (apng.decode_apng, apng.ApngError),
+                    (avi.decode_avi, avi.AviError),
+                ):
                     try:
-                        frames = apng.decode_apng(raw)
-                    except apng.ApngError:
-                        frames = None
+                        frames = decode(raw)
+                        break
+                    except err:
+                        continue
                 if frames is not None:
                     total, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
                     k = min(n_frames, total)
