@@ -41,7 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core import apng, avi, bitmaps, gif, jpeg, png, wav
+from ..core import apng, avi, bitmaps, gif, jpeg, png, wav, webp
 
 try:  # full external codec, absent in this container; probed ONCE —
     # a failed import is not cached by Python, so probing per row
@@ -120,6 +120,12 @@ def _decode_one(content: bytes) -> tuple[int, int, int, bool]:
     try:  # REAL AVI video: container-header geometry (no frame decode)
         return (*avi.avi_meta(content), True)
     except avi.AviError:
+        pass
+    try:  # REAL WebP geometry from VP8/VP8L/VP8X headers (pixel decode
+        # stays out of scope — needs entropy decoders; ok=True because
+        # the reported dimensions ARE the container's true dimensions)
+        return (*webp.webp_meta(content), True)
+    except webp.WebpError:
         pass
     w, h, c = FakeCodec.decode(content)
     return w, h, c, False
