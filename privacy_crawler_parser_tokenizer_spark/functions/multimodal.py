@@ -12,11 +12,13 @@ UDF signatures) is real and tested.  The codec chain in ``_decode_one``
 is: Pillow if present (absent in this container) -> the pure-stdlib
 codecs (``core/png.py`` — RFC 2083 PNG; ``core/bitmaps.py`` — BMP and
 netpbm PPM/PGM; ``core/jpeg.py`` — baseline JPEG; ``core/gif.py`` —
-GIF87a/89a incl. animation; ``core/wav.py`` — RIFF PCM audio: REAL
-decode/resize/encode for all six) -> ``FakeCodec``, a deterministic,
-clearly-marked stand-in for the one remaining format (webp — its VP8/
-VP8L bitstreams need an external entropy decoder) that derives
-dimensions/features from a content hash so tests are reproducible.
+GIF87a/89a incl. animation; ``core/wav.py`` — RIFF PCM audio;
+``core/webp.py`` — lossless WebP/VP8L incl. all four transforms: REAL
+decode/resize/encode for all seven) -> ``FakeCodec``, a deterministic,
+clearly-marked stand-in for the one remaining bitstream (lossy-VP8
+webp — its boolean range coder + loop filter stay out of scope) that
+derives dimensions/features from a content hash so tests are
+reproducible (geometry for lossy VP8 is still REAL, from the header).
 ``frame_sample_media`` decodes REAL frames from animated GIFs, APNGs,
 and AVI videos (``core/avi.py`` — RIFF container with MJPEG frames via
 the baseline-JPEG DCT path, or uncompressed DIB frames) and yields one
@@ -121,9 +123,9 @@ def _decode_one(content: bytes) -> tuple[int, int, int, bool]:
         return (*avi.avi_meta(content), True)
     except avi.AviError:
         pass
-    try:  # REAL WebP geometry from VP8/VP8L/VP8X headers (pixel decode
-        # stays out of scope — needs entropy decoders; ok=True because
-        # the reported dimensions ARE the container's true dimensions)
+    try:  # REAL WebP geometry from VP8/VP8L/VP8X headers (VP8L pixel
+        # decode is also real — see resize/frame paths; lossy VP8 pixel
+        # decode stays out of scope but its header geometry is true)
         return (*webp.webp_meta(content), True)
     except webp.WebpError:
         pass
@@ -239,15 +241,16 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Bounded resize: scale every image so its longer side is <=
     ``max_side`` (aspect preserved, never upscaled).
 
-    PNG, BMP, PPM/PGM and baseline-JPEG payloads take the REAL path
-    end to end: ``core/png.py`` / ``core/bitmaps.py`` / ``core/jpeg.py``
-    decode the pixels, nearest-neighbor resample them to the new
-    geometry, and re-encode in the same format — output content
-    round-trips through the matching decoder (JPEG lossily, within
-    quantization tolerance).  The remaining formats (webp — no codec
-    in this container) keep the labeled stub: geometry is still
-    computed from real/fake decoded dims and the payload is a
-    deterministic content-hash sized to the new geometry so downstream
+    PNG, BMP, PPM/PGM, baseline-JPEG and lossless-WebP payloads take
+    the REAL path end to end: ``core/png.py`` / ``core/bitmaps.py`` /
+    ``core/jpeg.py`` / ``core/webp.py`` decode the pixels,
+    nearest-neighbor resample them to the new geometry, and re-encode
+    in the same format — output content round-trips through the
+    matching decoder (JPEG lossily, within quantization tolerance).
+    The remaining bitstream (lossy-VP8 webp — no range coder in this
+    container) keeps the labeled stub: geometry is still computed from
+    real/fake decoded dims and the payload is a deterministic
+    content-hash sized to the new geometry so downstream
     byte-accounting stays exercised."""
 
     codecs = (
@@ -255,6 +258,7 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
         (bitmaps.decode_bmp, bitmaps.encode_bmp, bitmaps.BitmapError),
         (bitmaps.decode_pnm, bitmaps.encode_pnm, bitmaps.BitmapError),
         (jpeg.decode_jpeg, jpeg.encode_jpeg, jpeg.JpegError),
+        (webp.decode_webp, webp.encode_webp, webp.WebpError),
     )
 
     def run(batches):
@@ -318,12 +322,17 @@ def frame_sample_media(media: DataFrame, n_frames: int = 4) -> DataFrame:
     the animation, and each sampled frame ships out PNG-encoded —
     output ``content`` round-trips through ``core/png.py`` to the exact
     decoded pixels.  ``frame_index``/``n_frames`` carry the sampled
-    position and true frame count; single-frame stills yield one row.
+    position and true frame count; single-frame stills (including
+    lossless-WebP/VP8L via ``core/webp.py``) yield one row.
 
-    Undecodable formats (webp / non-MJPEG video codecs — no entropy
-    decoder in this container) yield exactly ONE labeled row:
-    ``ok=false``, geometry 0x0, ``frame_index``/``n_frames`` 0, content
-    NULL — no code path emits fake frame bytes."""
+    Undecodable formats (lossy-VP8 webp / non-MJPEG video codecs — no
+    range-coder entropy decoder in this container) yield exactly ONE
+    labeled row: ``ok=false``, geometry 0x0, ``frame_index``/
+    ``n_frames`` 0, content NULL — no code path emits fake frame
+    bytes."""
+
+    def _webp_still(raw: bytes) -> np.ndarray:
+        return webp.decode_webp(raw)[None]
 
     def run(batches):
         for pdf in batches:
@@ -337,6 +346,7 @@ def frame_sample_media(media: DataFrame, n_frames: int = 4) -> DataFrame:
                     (gif.decode_gif, gif.GifError),
                     (apng.decode_apng, apng.ApngError),
                     (avi.decode_avi, avi.AviError),
+                    (_webp_still, webp.WebpError),
                 ):
                     try:
                         frames = decode(raw)
