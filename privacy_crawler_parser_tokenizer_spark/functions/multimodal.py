@@ -204,15 +204,51 @@ def _wav_features(raw: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return np.asarray([duration, rms, peak, zcr] + bands, dtype=np.float32)
 
 
+def _image_features(raw: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL image features from decoded pixels: [log-area, aspect,
+    mean luminance, luminance std] + (dim-4) equal-width luminance
+    histogram fractions.  Raises ``ValueError`` (the codec errors all
+    subclass it) when no pure-stdlib decoder accepts the payload."""
+    px = None
+    for decode in (png.decode_png, bitmaps.decode_bmp, bitmaps.decode_pnm,
+                   jpeg.decode_jpeg, webp.decode_webp):
+        try:
+            px = decode(raw)
+            break
+        except ValueError:
+            continue
+    if px is None:
+        px = gif.decode_gif(raw)[0]  # first frame; raises GifError if not GIF
+    if px.ndim == 2:
+        lum = px.astype(np.float64)
+    elif px.shape[2] >= 3:
+        lum = (0.299 * px[..., 0].astype(np.float64)
+               + 0.587 * px[..., 1] + 0.114 * px[..., 2])
+    else:  # gray(+alpha)
+        lum = px[..., 0].astype(np.float64)
+    h, w = lum.shape
+    hist, _ = np.histogram(lum, bins=dim - 4, range=(0.0, 256.0))
+    total = hist.sum() or 1
+    head = [np.log1p(float(h * w)), w / h,
+            float(lum.mean()) / 255.0, float(lum.std()) / 255.0]
+    return np.asarray(head + (hist / total).tolist(), dtype=np.float32)
+
+
 def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """media table -> fixed-width float features (ANN-ready).  WAV
-    payloads take the REAL PCM-feature path; everything else keeps the
-    deterministic byte-histogram embedding."""
+    payloads take the REAL PCM-feature path, decodable images (PNG/
+    BMP/PPM/JPEG/GIF/lossless-WebP) the REAL pixel-feature path;
+    only undecodable payloads keep the deterministic byte-histogram
+    embedding (the labeled stand-in)."""
 
     def one(raw: bytes) -> list:
         try:
             return _wav_features(raw, dim).tolist()
         except wav.WavError:
+            pass
+        try:
+            return _image_features(raw, dim).tolist()
+        except ValueError:
             return FakeCodec.features(raw, dim).tolist()
 
     def run(batches):

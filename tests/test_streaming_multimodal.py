@@ -446,3 +446,29 @@ def test_streaming_lsh_ttl_evicts_stale_buckets(spark, tmp_path):
     got = {(r.a, r.b) for r in spark.table("lsh_ttl_short").collect()}
     assert (1, 2) in got                      # same-batch pair: unaffected
     assert (1, 4) not in got and (2, 4) not in got  # evicted before 4 arrived
+
+
+def test_media_features_real_image_path(spark):
+    import numpy as np
+
+    from privacy_crawler_parser_tokenizer_spark.core import png, webp
+
+    img = np.zeros((10, 20, 3), np.uint8)   # half black, half white rows
+    img[5:] = 255
+    rows = [
+        ("p", "media://p", "png", bytearray(png.encode_png(img))),
+        ("w", "media://w", "webp", bytearray(webp.encode_webp(img))),
+        ("x", "media://x", "txt", bytearray(b"not an image at all")),
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    feats = {r.doc_id: r.feature for r in mm.media_features(media).collect()}
+    for key in ("p", "w"):  # same pixels -> identical REAL features
+        f = feats[key]
+        assert abs(f[0] - float(np.log1p(200.0))) < 1e-5   # log-area
+        assert abs(f[1] - 2.0) < 1e-6                      # aspect w/h
+        assert abs(f[2] - 0.5) < 1e-3                      # mean luminance
+        hist = f[4:]
+        assert abs(hist[0] - 0.5) < 1e-6 and abs(hist[-1] - 0.5) < 1e-6
+        assert sum(hist[1:-1]) == 0.0
+    assert feats["p"] == feats["w"]
+    assert abs(sum(feats["x"]) - 1.0) < 1e-5  # fallback stays byte-histogram
