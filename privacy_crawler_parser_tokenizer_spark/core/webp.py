@@ -851,3 +851,101 @@ def encode_webp(pixels: np.ndarray, **kwargs) -> bytes:
     if len(chunk) & 1:
         body += b"\x00"
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _to_rgba(px: np.ndarray) -> np.ndarray:
+    if px.shape[2] == 4:
+        return px
+    out = np.empty((*px.shape[:2], 4), dtype=np.uint8)
+    out[..., :3] = px
+    out[..., 3] = 255
+    return out
+
+
+def webp_frames(data: bytes) -> np.ndarray:
+    """Animated WebP (VP8X + ANIM + ANMF with VP8L frame payloads) ->
+    uint8 (n_frames, canvas_h, canvas_w, 4) RGBA.
+
+    Frames composite onto an initially transparent canvas per the ANMF
+    flags — bit 1: blend method (0 = straight-alpha OVER, 1 =
+    overwrite), bit 0: dispose (1 = clear the frame rect to
+    transparent black afterwards, matching libwebp's WebPAnimDecoder).
+    Lossy (VP8) animation frames raise ``WebpError`` — the caller's
+    labeled undecodable path, never fake pixels."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise WebpError("not a RIFF WEBP file")
+    riff_end = min(8 + struct.unpack_from("<I", data, 4)[0], len(data))
+    pos = 12
+    canvas_wh = None
+    anim_seen = False
+    frames = []
+    while pos + 8 <= riff_end:
+        fcc = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = pos + 8
+        if body + size > riff_end:
+            raise WebpError(f"chunk {fcc!r} overruns the container")
+        chunk = data[body : body + size]
+        if fcc == b"VP8X":
+            if len(chunk) < 10:
+                raise WebpError("short VP8X chunk")
+            if not chunk[0] & 0x02:
+                raise WebpError("VP8X without the animation flag")
+            canvas_wh = (int.from_bytes(chunk[4:7], "little") + 1,
+                         int.from_bytes(chunk[7:10], "little") + 1)
+        elif fcc == b"ANIM":
+            anim_seen = True
+        elif fcc == b"ANMF":
+            if len(chunk) < 16:
+                raise WebpError("short ANMF chunk")
+            fx = int.from_bytes(chunk[0:3], "little") * 2
+            fy = int.from_bytes(chunk[3:6], "little") * 2
+            fw = int.from_bytes(chunk[6:9], "little") + 1
+            fh = int.from_bytes(chunk[9:12], "little") + 1
+            flags = chunk[15]
+            sub = 16
+            px = None
+            while sub + 8 <= len(chunk):
+                sfcc = chunk[sub : sub + 4]
+                ssize = struct.unpack_from("<I", chunk, sub + 4)[0]
+                sbody = sub + 8
+                if sbody + ssize > len(chunk):
+                    raise WebpError("ANMF subchunk overruns the frame")
+                if sfcc == b"VP8L":
+                    px = decode_vp8l(chunk[sbody : sbody + ssize])
+                    break
+                if sfcc == b"VP8 ":
+                    raise WebpError("lossy VP8 animation frame unsupported")
+                sub = sbody + ssize + (ssize & 1)
+            if px is None:
+                raise WebpError("ANMF frame without VP8L payload")
+            if px.shape[:2] != (fh, fw):
+                raise WebpError("ANMF geometry disagrees with frame bitstream")
+            frames.append((fx, fy, fw, fh, flags, _to_rgba(px)))
+        pos = body + size + (size & 1)
+    if canvas_wh is None or not anim_seen:
+        raise WebpError("not an animated WebP (need VP8X + ANIM)")
+    if not frames:
+        raise WebpError("animated WebP without ANMF frames")
+    cw, ch_ = canvas_wh
+    canvas = np.zeros((ch_, cw, 4), dtype=np.uint8)
+    out = []
+    for fx, fy, fw, fh, flags, sub in frames:
+        if fx + fw > cw or fy + fh > ch_:
+            raise WebpError("ANMF frame outside the canvas")
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if flags & 0x02:  # blend method 1: overwrite
+            region[:] = sub
+        else:  # straight-alpha OVER (same math as core/apng.py)
+            sa = sub[:, :, 3:4].astype(np.float32) / 255.0
+            da = region[:, :, 3:4].astype(np.float32) / 255.0
+            oa = sa + da * (1.0 - sa)
+            rgb = (sub[:, :, :3].astype(np.float32) * sa
+                   + region[:, :, :3].astype(np.float32) * da * (1.0 - sa))
+            safe = np.where(oa == 0.0, 1.0, oa)
+            region[:, :, :3] = np.clip(rgb / safe + 0.5, 0, 255).astype(np.uint8)
+            region[:, :, 3] = np.clip(oa[:, :, 0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        out.append(canvas.copy())
+        if flags & 0x01:  # dispose to background: transparent black
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+    return np.stack(out)

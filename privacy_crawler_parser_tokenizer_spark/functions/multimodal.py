@@ -358,8 +358,9 @@ def frame_sample_media(media: DataFrame, n_frames: int = 4) -> DataFrame:
     the animation, and each sampled frame ships out PNG-encoded —
     output ``content`` round-trips through ``core/png.py`` to the exact
     decoded pixels.  ``frame_index``/``n_frames`` carry the sampled
-    position and true frame count; single-frame stills (including
-    lossless-WebP/VP8L via ``core/webp.py``) yield one row.
+    position and true frame count; animated WebP (VP8X/ANIM/ANMF with
+    VP8L payloads) composites real frames via ``core/webp.py`` and
+    single-frame stills (including lossless-WebP) yield one row.
 
     Undecodable formats (lossy-VP8 webp / non-MJPEG video codecs — no
     range-coder entropy decoder in this container) yield exactly ONE
@@ -367,8 +368,11 @@ def frame_sample_media(media: DataFrame, n_frames: int = 4) -> DataFrame:
     ``n_frames`` 0, content NULL — no code path emits fake frame
     bytes."""
 
-    def _webp_still(raw: bytes) -> np.ndarray:
-        return webp.decode_webp(raw)[None]
+    def _webp_any(raw: bytes) -> np.ndarray:
+        try:  # animated first: VP8X+ANIM+ANMF composited frames
+            return webp.webp_frames(raw)
+        except webp.WebpError:
+            return webp.decode_webp(raw)[None]  # lossless still
 
     def run(batches):
         for pdf in batches:
@@ -382,7 +386,7 @@ def frame_sample_media(media: DataFrame, n_frames: int = 4) -> DataFrame:
                     (gif.decode_gif, gif.GifError),
                     (apng.decode_apng, apng.ApngError),
                     (avi.decode_avi, avi.AviError),
-                    (_webp_still, webp.WebpError),
+                    (_webp_any, webp.WebpError),
                 ):
                     try:
                         frames = decode(raw)

@@ -450,3 +450,106 @@ def test_vp8l_roundtrip_hypothesis(h, w, ch, seed, sub_green, rle, cache):
     out = webp.decode_webp(data)
     exp = px if (ch == 4 and (px[..., 3] != 255).any()) else px[..., :3]
     assert np.array_equal(out, exp)
+
+
+# --------------------------------------------------------------------------
+# animated WebP (VP8X + ANIM + ANMF) — containers hand-assembled here
+# --------------------------------------------------------------------------
+
+
+def _vp8x_anim(w, h):
+    return (b"\x02" + b"\x00\x00\x00"
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+
+
+def _anim_chunk():
+    return b"\x00\x00\x00\x00" + b"\x00\x00"  # bg color + loop count
+
+
+def _anmf(fx, fy, img, flags):
+    payload = webp.encode_vp8l(img)
+    fh, fw = img.shape[:2]
+    head = ((fx // 2).to_bytes(3, "little") + (fy // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little") + (fh - 1).to_bytes(3, "little")
+            + (10).to_bytes(3, "little") + bytes([flags]))
+    sub = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        sub += b"\x00"
+    return head + sub
+
+
+def test_webp_frames_overwrite_and_dispose():
+    red = np.zeros((4, 6, 3), np.uint8)
+    red[..., 0] = 255
+    patch = np.full((2, 2, 3), 77, np.uint8)
+    dot = np.full((1, 1, 3), 33, np.uint8)
+    data = _riff(
+        (b"VP8X", _vp8x_anim(6, 4)),
+        (b"ANIM", _anim_chunk()),
+        (b"ANMF", _anmf(0, 0, red, flags=0x02)),          # overwrite all
+        (b"ANMF", _anmf(2, 0, patch, flags=0x02 | 0x01)),  # + dispose
+        (b"ANMF", _anmf(0, 2, dot, flags=0x02)),
+    )
+    frames = webp.webp_frames(data)
+    assert frames.shape == (3, 4, 6, 4)
+    assert (frames[0, :, :, 0] == 255).all() and (frames[0, :, :, 3] == 255).all()
+    assert frames[1, 0, 2].tolist() == [77, 77, 77, 255]
+    # dispose cleared the patch rect to transparent black before frame 3
+    assert frames[2, 0, 2].tolist() == [0, 0, 0, 0]
+    assert frames[2, 2, 0].tolist() == [33, 33, 33, 255]
+    assert frames[2, 3, 5].tolist() == [255, 0, 0, 255]  # red survives
+
+
+def test_webp_frames_alpha_blend_over():
+    red = np.zeros((2, 2, 3), np.uint8)
+    red[..., 0] = 255
+    semi = np.zeros((1, 1, 4), np.uint8)
+    semi[..., :3] = 255
+    semi[..., 3] = 128
+    data = _riff(
+        (b"VP8X", _vp8x_anim(2, 2)),
+        (b"ANIM", _anim_chunk()),
+        (b"ANMF", _anmf(0, 0, red, flags=0x02)),
+        (b"ANMF", _anmf(0, 0, semi, flags=0x00)),  # straight-alpha OVER
+    )
+    frames = webp.webp_frames(data)
+    assert frames[1, 0, 0].tolist() == [255, 128, 128, 255]
+    assert frames[1, 1, 1].tolist() == [255, 0, 0, 255]
+
+
+def test_webp_frames_rejects_lossy_and_still():
+    lossy_sub = b"VP8 " + struct.pack("<I", 20) + _vp8_chunk(2, 2) + b"\x00" * 2
+    head = (b"\x00" * 6 + (1).to_bytes(3, "little") + (1).to_bytes(3, "little")
+            + (10).to_bytes(3, "little") + b"\x02")
+    data = _riff((b"VP8X", _vp8x_anim(2, 2)), (b"ANIM", _anim_chunk()),
+                 (b"ANMF", head + lossy_sub[: 8 + 20]))
+    with pytest.raises(webp.WebpError):
+        webp.webp_frames(data)
+    still = webp.encode_webp(np.zeros((2, 2, 3), np.uint8))
+    with pytest.raises(webp.WebpError):
+        webp.webp_frames(still)  # no VP8X/ANIM -> not an animation
+    assert webp.decode_webp(still).shape == (2, 2, 3)  # still path intact
+
+
+def test_frame_sample_animated_webp(spark):
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    f2 = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    data = _riff(
+        (b"VP8X", _vp8x_anim(5, 3)),
+        (b"ANIM", _anim_chunk()),
+        (b"ANMF", _anmf(0, 0, base, flags=0x02)),
+        (b"ANMF", _anmf(0, 0, f2, flags=0x02)),
+    )
+    media = spark.createDataFrame(
+        [("d1", "media://d1", "webp", bytearray(data))],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    rows = sorted(mm.frame_sample_media(media, n_frames=2).collect(),
+                  key=lambda r: r.frame_index)
+    assert [r.frame_index for r in rows] == [0, 1]
+    assert all(r.n_frames == 2 and r.ok for r in rows)
+    from privacy_crawler_parser_tokenizer_spark.core import png as _png
+    got0 = _png.decode_png(bytes(rows[0].content))
+    assert (got0[..., :3] == base).all() and (got0[..., 3] == 255).all()
+    assert (_png.decode_png(bytes(rows[1].content))[..., :3] == f2).all()
