@@ -283,3 +283,32 @@ def test_simhash_candidates_is_bucketed_not_all_pairs(spark):
     p = plan(spark, "simhash_candidates")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert has_partial_aggregation(p)
+
+
+def test_kmeans_update_plan_stays_narrow(spark):
+    # The Lloyd centroid update must keep an O(1)-width plan: one
+    # posexplode Generate feeding a partial-aggregable 3-column
+    # sum/count — never `dim` column-wise aggregates (each costs
+    # Catalyst analysis per iteration, the serial driver floor of the
+    # training loop; regression guard for operators/kmeans.py).
+    from pyspark.sql import functions as F
+
+    from privacy_crawler_parser_tokenizer_spark.operators.kmeans import (
+        quantize_milli,
+    )
+    from privacy_crawler_parser_tokenizer_spark.queries import _t
+
+    emb = _t(spark, SF, "embeddings").select(
+        "vec_id", quantize_milli(F.col("embedding")).alias("q")
+    )
+    assigned = emb.select((F.col("vec_id") % 4).alias("cid"), "q")
+    sums = (
+        assigned.select("cid", F.posexplode("q").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    p = formatted_plan(sums)
+    assert "Generate explode" in p or "posexplode" in p, p
+    assert has_partial_aggregation(p), p
+    # narrow: the aggregate carries 2 measures, not one per dimension
+    assert p.count("sum(") < 8, p
