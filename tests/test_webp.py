@@ -553,3 +553,24 @@ def test_frame_sample_animated_webp(spark):
     got0 = _png.decode_png(bytes(rows[0].content))
     assert (got0[..., :3] == base).all() and (got0[..., 3] == 255).all()
     assert (_png.decode_png(bytes(rows[1].content))[..., :3] == f2).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(0, 200))
+def test_vp8l_decoder_total_on_garbage(seed, nbytes):
+    # mapInPandas codecs must fail CLOSED: any byte soup either decodes
+    # or raises WebpError (ValueError) — never IndexError/struct.error.
+    rng = np.random.default_rng(seed)
+    tail = rng.integers(0, 256, size=nbytes, dtype=np.uint8).tobytes()
+    header = b"\x2f" + struct.pack("<I", (7) | (7 << 14))
+    for payload in (tail, header + tail):
+        try:
+            webp.decode_vp8l(payload)
+        except webp.WebpError:
+            pass
+        try:
+            webp.webp_frames(
+                b"RIFF" + struct.pack("<I", len(payload) + 4) + b"WEBP" + payload
+            )
+        except webp.WebpError:
+            pass
