@@ -949,3 +949,36 @@ def webp_frames(data: bytes) -> np.ndarray:
         if flags & 0x01:  # dispose to background: transparent black
             canvas[fy : fy + fh, fx : fx + fw] = 0
     return np.stack(out)
+
+
+def encode_webp_anim(frames: np.ndarray, **kwargs) -> bytes:
+    """uint8 (n, h, w) or (n, h, w, c) -> animated WebP container:
+    full-canvas ANMF frames (blend=overwrite, dispose=none) carrying
+    VP8L payloads — the round-trip writer for tests and oracle-gated
+    frame-sampling (mirrors ``apng.encode_apng``'s role)."""
+    px = np.asarray(frames, dtype=np.uint8)
+    if px.ndim == 3:
+        px = px[..., None].repeat(3, axis=3)
+    if px.ndim != 4 or px.shape[0] == 0:
+        raise WebpError(f"unsupported frame array shape {px.shape}")
+    n, h, w = px.shape[:3]
+    body = b"WEBP"
+    vp8x = (b"\x02" + b"\x00" * 3
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+    body += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = b"\x00\x00\x00\x00" + b"\x00\x00"  # bg color + loop count
+    body += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for i in range(n):
+        payload = encode_vp8l(px[i], **kwargs)
+        head = (b"\x00" * 6  # frame x, y = 0 (full canvas)
+                + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+                + (10).to_bytes(3, "little")  # duration ms
+                + b"\x02")  # flags: overwrite blend, no dispose
+        sub = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            sub += b"\x00"
+        anmf = head + sub
+        body += b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        if len(anmf) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -360,7 +360,8 @@ def frame_sample_media(media: DataFrame, n_frames: int = 4) -> DataFrame:
     decoded pixels.  ``frame_index``/``n_frames`` carry the sampled
     position and true frame count; animated WebP (VP8X/ANIM/ANMF with
     VP8L payloads) composites real frames via ``core/webp.py`` and
-    single-frame stills (including lossless-WebP) yield one row.
+    decodable single-frame stills (PNG/BMP/PPM/JPEG/lossless-WebP)
+    yield one real-pixel row.
 
     Undecodable formats (lossy-VP8 webp / non-MJPEG video codecs — no
     range-coder entropy decoder in this container) yield exactly ONE
@@ -373,6 +374,9 @@ def frame_sample_media(media: DataFrame, n_frames: int = 4) -> DataFrame:
             return webp.webp_frames(raw)
         except webp.WebpError:
             return webp.decode_webp(raw)[None]  # lossless still
+
+    def _still(decode):  # decodable stills are 1-frame animations
+        return lambda raw: decode(raw)[None]
 
     def run(batches):
         for pdf in batches:
@@ -387,6 +391,10 @@ def frame_sample_media(media: DataFrame, n_frames: int = 4) -> DataFrame:
                     (apng.decode_apng, apng.ApngError),
                     (avi.decode_avi, avi.AviError),
                     (_webp_any, webp.WebpError),
+                    (_still(png.decode_png), png.PngError),
+                    (_still(bitmaps.decode_bmp), bitmaps.BitmapError),
+                    (_still(bitmaps.decode_pnm), bitmaps.BitmapError),
+                    (_still(jpeg.decode_jpeg), jpeg.JpegError),
                 ):
                     try:
                         frames = decode(raw)

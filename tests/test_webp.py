@@ -574,3 +574,27 @@ def test_vp8l_decoder_total_on_garbage(seed, nbytes):
             )
         except webp.WebpError:
             pass
+
+
+def test_encode_webp_anim_round_trip():
+    fr = np.stack([np.full((5, 7, 3), v, np.uint8) for v in (10, 200, 90)])
+    out = webp.webp_frames(webp.encode_webp_anim(fr))
+    assert out.shape == (3, 5, 7, 4)
+    assert (out[..., :3] == fr).all() and (out[..., 3] == 255).all()
+    with pytest.raises(webp.WebpError):
+        webp.encode_webp_anim(np.zeros((0, 2, 2, 3), np.uint8))
+
+
+def test_frame_sample_decodable_stills(spark):
+    from privacy_crawler_parser_tokenizer_spark.core import bitmaps, png as _png
+    img = np.arange(3 * 4 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    media = spark.createDataFrame(
+        [("png", "m://p", "png", bytearray(_png.encode_png(img))),
+         ("bmp", "m://b", "bmp", bytearray(bitmaps.encode_bmp(img))),
+         ("pnm", "m://n", "ppm", bytearray(bitmaps.encode_pnm(img)))],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    rows = {r.doc_id: r for r in mm.frame_sample_media(media).collect()}
+    for k, r in rows.items():
+        assert r.ok and r.n_frames == 1 and (r.width, r.height) == (4, 3), k
+        assert (_png.decode_png(bytes(r.content)) == img).all(), k
