@@ -277,18 +277,28 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Bounded resize: scale every image so its longer side is <=
     ``max_side`` (aspect preserved, never upscaled).
 
-    PNG, BMP, PPM/PGM, baseline-JPEG and lossless-WebP payloads take
-    the REAL path end to end: ``core/png.py`` / ``core/bitmaps.py`` /
+    PNG, BMP, PPM/PGM, baseline-JPEG and lossless-WebP stills take the
+    REAL path end to end: ``core/png.py`` / ``core/bitmaps.py`` /
     ``core/jpeg.py`` / ``core/webp.py`` decode the pixels,
     nearest-neighbor resample them to the new geometry, and re-encode
     in the same format — output content round-trips through the
     matching decoder (JPEG lossily, within quantization tolerance).
-    The remaining bitstream (lossy-VP8 webp — no range coder in this
+    Animations resize EVERY frame and re-encode in-format too: GIF
+    (resampled palettes stay subsets, so re-encode is exact), APNG,
+    animated WebP, and AVI (re-encoded as lossless DIB frames).  The
+    remaining bitstream (lossy-VP8 webp — no range coder in this
     container) keeps the labeled stub: geometry is still computed from
     real/fake decoded dims and the payload is a deterministic
     content-hash sized to the new geometry so downstream
     byte-accounting stays exercised."""
 
+    anim_codecs = (
+        (gif.decode_gif, gif.encode_gif, gif.GifError),
+        (apng.decode_apng, apng.encode_apng, apng.ApngError),
+        (webp.webp_frames, webp.encode_webp_anim, webp.WebpError),
+        (avi.decode_avi, lambda fr: avi.encode_avi(fr, codec="rgb"),
+         avi.AviError),
+    )
     codecs = (
         (png.decode_png, png.encode_png, png.PngError),
         (bitmaps.decode_bmp, bitmaps.encode_bmp, bitmaps.BitmapError),
@@ -305,16 +315,29 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
             ):
                 raw = bytes(c) if c is not None else b""
                 payload = None
-                for decode, encode, err in codecs:
+                for decode, encode, err in anim_codecs:
                     try:
-                        px = decode(raw)
+                        frames = decode(raw)
                     except err:
                         continue
-                    h, w = px.shape[:2]
+                    h, w = frames.shape[1:3]
                     scale = min(1.0, max_side / max(w, h, 1))
                     nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
-                    payload = encode(png.resize_nearest(px, nw, nh))
+                    payload = encode(np.stack(
+                        [png.resize_nearest(f, nw, nh) for f in frames]
+                    ))
                     break
+                if payload is None:
+                    for decode, encode, err in codecs:
+                        try:
+                            px = decode(raw)
+                        except err:
+                            continue
+                        h, w = px.shape[:2]
+                        scale = min(1.0, max_side / max(w, h, 1))
+                        nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                        payload = encode(png.resize_nearest(px, nw, nh))
+                        break
                 if payload is None:
                     w, h, _ch, _ok = _decode_one(raw)
                     scale = min(1.0, max_side / max(w, h, 1))

@@ -598,3 +598,29 @@ def test_frame_sample_decodable_stills(spark):
     for k, r in rows.items():
         assert r.ok and r.n_frames == 1 and (r.width, r.height) == (4, 3), k
         assert (_png.decode_png(bytes(r.content)) == img).all(), k
+
+
+def test_resize_media_animated_paths(spark):
+    from privacy_crawler_parser_tokenizer_spark.core import gif
+    rng = np.random.default_rng(11)
+    # GIF: 4-color palette, resample keeps a palette subset -> exact
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    gif_frames = pal[rng.integers(0, 4, size=(3, 10, 20))]
+    anim = np.stack([np.full((8, 30, 3), v, np.uint8) for v in (5, 250)])
+    media = spark.createDataFrame(
+        [("g", "m://g", "gif", bytearray(gif.encode_gif(gif_frames))),
+         ("w", "m://w", "webp", bytearray(webp.encode_webp_anim(anim)))],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    rows = {r.doc_id: r for r in mm.resize_media(media, max_side=10).collect()}
+    g = rows["g"]
+    assert (g.width, g.height) == (10, 5)
+    out = gif.decode_gif(bytes(g.content))
+    assert out.shape == (3, 5, 10, 3)
+    from privacy_crawler_parser_tokenizer_spark.core.png import resize_nearest
+    want = np.stack([resize_nearest(f, 10, 5) for f in gif_frames])
+    assert (out == want).all()
+    w = rows["w"]
+    assert (w.width, w.height) == (10, 2)  # 30x8 at scale 1/3
+    wf = webp.webp_frames(bytes(w.content))
+    assert wf.shape[0] == 2 and (wf[0, ..., :3] == 5).all() and (wf[1, ..., :3] == 250).all()
