@@ -211,14 +211,17 @@ def _image_features(raw: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     subclass it) when no pure-stdlib decoder accepts the payload."""
     px = None
     for decode in (png.decode_png, bitmaps.decode_bmp, bitmaps.decode_pnm,
-                   jpeg.decode_jpeg, webp.decode_webp):
+                   jpeg.decode_jpeg, webp.decode_webp,
+                   lambda r: gif.decode_gif(r)[0],       # animations:
+                   lambda r: webp.webp_frames(r)[0],     # features from
+                   lambda r: avi.decode_avi(r)[0]):      # the first frame
         try:
             px = decode(raw)
             break
         except ValueError:
             continue
     if px is None:
-        px = gif.decode_gif(raw)[0]  # first frame; raises GifError if not GIF
+        raise ValueError("no decodable image payload")
     if px.ndim == 2:
         lum = px.astype(np.float64)
     elif px.shape[2] >= 3:
