@@ -52,7 +52,7 @@ HEADLINE = [
     "lang_rollup",
     "sessionize",
     "events_neighbor_context",
-    "events_hourly",
+    "lm_bigram_score",
     "embedding_topk",
     "ivf_topk",
     "pq_topk",

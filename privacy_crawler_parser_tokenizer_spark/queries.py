@@ -38,6 +38,7 @@ from .functions.text import (
     shingles_col,
     stopword_ratio_col,
     word_count_col,
+    words_col,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2056,7 +2057,7 @@ def q_events_running_avg(spark, sf_dir):
     engines when the running double sum drifts a ulp around an exact
     .5e-6 boundary (21/10k rows at sf0.01).  Instead the value is
     quantized once to exact integer micro-units via the
-    decimal(20,6) cast (the proven events_hourly pattern), the running
+    decimal(20,6) cast (exact-sum-then-round, engine-agnostic), the running
     sum/count stay exact integers, and half-away-from-zero rounding is
     integer division — bit-identical on any engine."""
     e = _t(spark, sf_dir, "events")
@@ -2084,25 +2085,71 @@ def q_events_running_avg(spark, sf_dir):
 
 
 @query(
-    "events_hourly",
+    "lm_bigram_score",
     """
-    SELECT date_trunc('hour', ts) AS h, event_type,
-           CAST(count(*) AS BIGINT) AS cnt,
-           round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 6) AS total
-    FROM events GROUP BY 1, 2
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS words
+      FROM documents
+    ), b AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(words) < 2 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(range(1, len(words)),
+                  i -> words[i] || ' ' || words[i+1]) END) AS bigram
+      FROM w
+    ), uc AS (
+      SELECT u AS w1, CAST(count(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(words) AS u FROM w) GROUP BY u
+    ), bc AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS c12 FROM b GROUP BY bigram
+    ), v AS (SELECT CAST(count(*) AS BIGINT) AS vs FROM uc)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(((c1 + vs) * 1000) // c12) // count(*) AS BIGINT)
+             AS surprisal_milli
+    FROM b
+    JOIN bc USING (bigram)
+    JOIN uc ON uc.w1 = split_part(b.bigram, ' ', 1)
+    CROSS JOIN v
+    GROUP BY b.doc_id
     """,
 )
-def q_events_hourly(spark, sf_dir):
-    """Tumbling event-time window aggregation, batch form (the
-    streaming twin with watermark is streaming/jobs.windowed_rule_counts)."""
-    e = _t(spark, sf_dir, "events")
-    return e.groupBy(
-        F.date_trunc("hour", "ts").alias("h"), "event_type"
-    ).agg(
-        F.count("*").alias("cnt"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 6
-        ).alias("total"),
+def q_lm_bigram_score(spark, sf_dir):
+    """Language-model quality filter (the CCNet / Llama perplexity-
+    filtering stage): a bigram LM is trained ON the corpus itself
+    (unigram + bigram count tables) and every document is scored by its
+    mean transition surprisal.  Kept log-free in exact int64 milli-space
+    — per word-pair ((c1 + V) * 1000) div c12, the integer-quantized
+    inverse conditional frequency, monotone in perplexity — so the
+    score is associativity-independent and hash-exact against the
+    DuckDB oracle (floats summed in engine-dependent order are not).
+
+    Scale shape: count tables build with partial-aggregable groupBys;
+    the score joins are shuffle equi-joins on (bigram) / (w1) — the
+    model IS corpus-sized, so broadcasting is wrong at 100 TB; AQE
+    handles skewed stopword bigrams.  The vocabulary size V rides a
+    broadcast 1-row crossJoin, no collect."""
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), 2)).alias("bigram")
+    )
+    u = docs.select(
+        F.explode(words_col(F.lower(F.col("text")))).alias("w1")
+    )
+    uc = u.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bc = b.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    v = uc.agg(F.count(F.lit(1)).alias("vs"))
+    scored = (
+        b.join(bc, "bigram")
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(v))
+        .withColumn("q", F.expr("((c1 + vs) * 1000) div c12"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.expr("sum(q) div count(1)").cast("long").alias("surprisal_milli"),
     )
 
 
