@@ -312,3 +312,20 @@ def test_kmeans_update_plan_stays_narrow(spark):
     assert has_partial_aggregation(p), p
     # narrow: the aggregate carries 2 measures, not one per dimension
     assert p.count("sum(") < 8, p
+
+
+def test_lm_bigram_score_orders_repetition(spark, tmp_path):
+    # repetitive text = frequent transitions = LOW surprisal; diverse
+    # text scores high — the filtering direction perplexity gives.
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam spam spam"),
+         (2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in QUERIES["lm_bigram_score"](spark, str(tmp_path)).collect()
+    }
+    assert out[1].n_bigrams == 7 and out[2].n_bigrams == 8
+    assert out[1].surprisal_milli < out[2].surprisal_milli
