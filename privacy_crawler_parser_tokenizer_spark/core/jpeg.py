@@ -6,18 +6,23 @@ Third real image format for the multimodal operators (after
 ``FakeCodec`` stand-in shrinks to formats that genuinely need an
 external library (webp/audio/video).
 
-Decoder supports: SOF0 (baseline) and SOF1, 8-bit samples, 1- or
-3-component (grayscale / YCbCr with any sampling factors up to 4),
-Huffman tables and quant tables read from the stream, restart
-intervals, byte stuffing.  Progressive (SOF2) parses for metadata only.
-Anything else raises ``JpegError`` and callers fall back to the
-labeled stub.
+Decoder supports: SOF0 (baseline), SOF1, and PROGRESSIVE SOF2 —
+multi-scan spectral selection + successive approximation per T.81
+§G.1.2 (DC first/refine, AC first/refine, EOB runs, point
+transforms) with coefficients accumulated across scans; 8-bit
+samples, 1- or 3-component (grayscale / YCbCr with any sampling
+factors up to 4), Huffman and quant tables read from the stream,
+restart intervals, byte stuffing.  Anything else raises
+``JpegError`` and callers fall back to the labeled stub.
 
-Encoder writes: baseline 4:4:4 (or single-component grayscale), Annex
-K quantization tables scaled by the IJG quality formula, fixed valid
-Huffman tables EMBEDDED in DHT segments — the decoder always reads
-tables from the stream, so encode/decode stay self-consistent by
-construction.
+Encoders write: baseline 4:4:4 (or single-component grayscale) via
+``encode_jpeg``, and progressive SOF2 via ``encode_jpeg_progressive``
+(scan script covering all four progressive scan kinds) — both with
+Annex K quantization tables scaled by the IJG quality formula and
+fixed valid Huffman tables EMBEDDED in DHT segments.  Both encoders
+quantize identically, so baseline and progressive encodes of one
+image must decode to IDENTICAL pixels — the cross-codec equality the
+tests assert.
 
 The 2-D DCT uses the orthonormal DCT-II matrix (F = C f C^T,
 f = C^T F C); tests verify it against a brute-force cosine sum.
@@ -291,18 +296,221 @@ def jpeg_meta(data: bytes) -> tuple[int, int, int]:
 # ----------------------------------------------------------- decoder
 
 
+def _dc_first(reader, dc_tbl, zz, pred, ci, al):
+    size = reader.decode_symbol(dc_tbl)
+    pred[ci] += _extend(reader.read_bits(size), size)
+    zz[0] = pred[ci] << al
+
+
+def _dc_refine(reader, zz, al):
+    # libjpeg semantics: OR the new bit into the two's-complement coef
+    if reader.read_bit():
+        zz[0] |= 1 << al
+
+
+def _ac_first(reader, ac_tbl, zz, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_tbl)
+        run, sz = rs >> 4, rs & 0xF
+        if sz == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eob = (1 << run) - 1
+            if run:
+                eob += reader.read_bits(run)
+            state["eobrun"] = eob  # excludes the current (now ended) block
+            break
+        k += run
+        if k > se:
+            raise JpegError("AC run past spectral end")
+        zz[k] = _extend(reader.read_bits(sz), sz) << al
+        k += 1
+
+
+def _ac_refine(reader, ac_tbl, zz, ss, se, al, state):
+    """T.81 G.1.2.3 successive-approximation AC refinement: correction
+    bits for history-nonzero coefficients, insertion of newly
+    significant +-1<<Al ones (the correction bit is read BEFORE the
+    already-set test — bit consumption is unconditional)."""
+    p1, m1 = 1 << al, -1 << al
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        for k in range(ss, se + 1):
+            c = int(zz[k])
+            if c != 0 and reader.read_bit() and (c & p1) == 0:
+                zz[k] = c + (p1 if c > 0 else m1)
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_tbl)
+        run, sz = rs >> 4, rs & 0xF
+        val = 0
+        if sz == 0:
+            if run < 15:  # EOBn: finish this block as corrections only
+                eob = (1 << run) - 1
+                if run:
+                    eob += reader.read_bits(run)
+                state["eobrun"] = eob
+                run = 64
+        elif sz == 1:
+            val = p1 if reader.read_bit() else m1
+        else:
+            raise JpegError("bad AC refinement size")
+        while k <= se:
+            c = int(zz[k])
+            if c != 0:
+                if reader.read_bit() and (c & p1) == 0:
+                    zz[k] = c + (p1 if c > 0 else m1)
+            else:
+                if run == 0:
+                    if val:
+                        zz[k] = val
+                    k += 1
+                    break
+                run -= 1
+            k += 1
+
+
+def _next_marker(data, p):
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF:
+            m = data[p + 1]
+            if m == 0x00 or 0xD0 <= m <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise JpegError("missing post-scan marker")
+
+
+def _decode_scan(data, start, sel, comps, coefs, ss, se, ah, al,
+                 ri, htables, progressive, geom):
+    """Entropy-decode one scan into the coefficient arrays; returns the
+    stream position of the next marker."""
+    mcus_x, mcus_y = geom
+    reader = _BitReader(data, start)
+    pred = {ci: 0 for ci, _, _ in sel}
+    state = {"eobrun": 0}
+
+    def unit(ci, td, ta, by, bx):
+        zz = coefs[ci][by, bx]
+        if not progressive:  # full-spectrum sequential DC+AC
+            dc_tbl = htables.get((0, td))
+            ac_tbl = htables.get((1, ta))
+            if dc_tbl is None or ac_tbl is None:
+                raise JpegError("missing huffman table")
+            size = reader.decode_symbol(dc_tbl)
+            pred[ci] += _extend(reader.read_bits(size), size)
+            zz[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = reader.decode_symbol(ac_tbl)
+                run, sz = rs >> 4, rs & 0xF
+                if sz == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise JpegError("AC run past block end")
+                zz[k] = _extend(reader.read_bits(sz), sz)
+                k += 1
+        elif ss == 0:
+            if ah == 0:
+                dc_tbl = htables.get((0, td))
+                if dc_tbl is None:
+                    raise JpegError("missing huffman table")
+                _dc_first(reader, dc_tbl, zz, pred, ci, al)
+            else:
+                _dc_refine(reader, zz, al)
+        else:
+            ac_tbl = htables.get((1, ta))
+            if ac_tbl is None:
+                raise JpegError("missing huffman table")
+            if ah == 0:
+                _ac_first(reader, ac_tbl, zz, ss, se, al, state)
+            else:
+                _ac_refine(reader, ac_tbl, zz, ss, se, al, state)
+
+    units = 0
+    if len(sel) > 1:  # interleaved MCU scan
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if ri and units and units % ri == 0:
+                    reader.align_to_marker()
+                    pred = {ci: 0 for ci, _, _ in sel}
+                    state["eobrun"] = 0
+                for ci, td, ta in sel:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit(ci, td, ta, my * c["v"] + by,
+                                 mx * c["h"] + bx)
+                units += 1
+    else:  # non-interleaved: the component's own ceil(dim/8) grid
+        ci, td, ta = sel[0]
+        c = comps[ci]
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                if ri and units and units % ri == 0:
+                    reader.align_to_marker()
+                    pred = {ci: 0}
+                    state["eobrun"] = 0
+                unit(ci, td, ta, by, bx)
+                units += 1
+    return _next_marker(data, reader.pos)
+
+
 @_guarded
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 array (h, w, c), c in {1, 3}
-    (grayscale or RGB via the JFIF YCbCr transform)."""
+    """JPEG bytes -> uint8 array (h, w, c), c in {1, 3} (grayscale or
+    RGB via the JFIF YCbCr transform).
+
+    Handles baseline (SOF0/SOF1) files and PROGRESSIVE (SOF2)
+    multi-scan files: coefficients accumulate across scans — DC
+    first/refine, AC first/refine with spectral selection, successive
+    approximation and EOB runs per T.81 §G.1.2 — then dequantize +
+    IDCT once at the end.  Non-interleaved scans cover each
+    component's own ceil(dim/8) block grid; restart intervals reset
+    predictors and EOB runs in every scan kind."""
+    if data[:2] != b"\xff\xd8":
+        raise JpegError("bad SOI")
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
     sof = None
     comps = None
-    restart_interval = 0
-    scan = None
-
-    for marker, s, e in _segments(data):
+    progressive = False
+    coefs = None
+    geom = None
+    seen_scan = False
+    pos = 2
+    n = len(data)
+    while True:
+        if pos + 2 > n:
+            raise JpegError("missing EOI")
+        if data[pos] != 0xFF:
+            raise JpegError("marker sync lost")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (length,) = struct.unpack_from(">H", data, pos + 2)
+        s, e = pos + 4, pos + 2 + length
+        if e > n:
+            raise JpegError("truncated segment")
         if marker == 0xDB:  # DQT
             p = s
             while p < e:
@@ -327,8 +535,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", data, s)
         elif marker in _SOF_ALL:
-            if marker not in _SOF_BASELINE:
+            if marker not in _SOF_BASELINE and marker != 0xC2:
                 raise JpegError(f"unsupported SOF marker 0xFF{marker:02X}")
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", data, s)
             if prec != 8:
                 raise JpegError(f"unsupported precision {prec}")
@@ -342,93 +551,85 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            sof = (h, w, nc)
+            for c in comps:
+                if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+                    raise JpegError("bad sampling factors")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            coefs = []
+            for c in comps:
+                cw = -(-(w * c["h"]) // hmax)   # component width (ceil)
+                ch_ = -(-(h * c["v"]) // vmax)  # component height (ceil)
+                c["bw"] = -(-cw // 8)
+                c["bh"] = -(-ch_ // 8)
+                coefs.append(
+                    np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int64)
+                )
+            sof = (h, w, nc, hmax, vmax)
+            geom = (mcus_x, mcus_y)
         elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise JpegError("SOS before SOF")
             ns = data[s]
-            mapping = {}
+            sel = []
             for i in range(ns):
                 cs, tt = data[s + 1 + 2 * i], data[s + 2 + 2 * i]
-                mapping[cs] = (tt >> 4, tt & 0xF)
-            scan = (mapping, e)
+                ci = next(
+                    (j for j, c in enumerate(comps) if c["id"] == cs), None
+                )
+                if ci is None:
+                    raise JpegError("scan selects unknown component")
+                sel.append((ci, tt >> 4, tt & 0xF))
+            p2 = s + 1 + 2 * ns
+            ss, se, ahal = data[p2], data[p2 + 1], data[p2 + 2]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise JpegError("bad sequential scan header")
+            if progressive:
+                if ss == 0 and se != 0:
+                    raise JpegError("progressive DC scan must have Se=0")
+                if ss > 0 and (len(sel) != 1 or ss > se or se > 63):
+                    raise JpegError("bad progressive AC scan header")
+            pos = _decode_scan(
+                data, e, sel, comps, coefs, ss, se, ah, al,
+                restart_interval, htables, progressive, geom,
+            )
+            seen_scan = True
+            continue
+        # APPn / COM / unknown length-bearing segments skip via e
+        pos = e
 
-    if sof is None or scan is None or comps is None:
+    if sof is None or not seen_scan:
         raise JpegError("missing SOF/SOS")
-    h, w, nc = sof
-    mapping, entropy_start = scan
+    h, w, nc, hmax, vmax = sof
     for c in comps:
-        if c["id"] not in mapping:
-            raise JpegError("scan does not cover all components")
-        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
-            raise JpegError("bad sampling factors")
-        c["td"], c["ta"] = mapping[c["id"]]
         if c["tq"] not in qtables:
             raise JpegError("missing quant table")
         c["q"] = qtables[c["tq"]]
 
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
-        for c in comps
-    ]
-
-    reader = _BitReader(data, entropy_start)
-    pred = [0] * nc
-    mcu_index = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                reader.align_to_marker()
-                pred = [0] * nc
-            for ci, c in enumerate(comps):
-                try:
-                    dc_tbl = htables[(0, c["td"])]
-                    ac_tbl = htables[(1, c["ta"])]
-                except KeyError:
-                    raise JpegError("missing huffman table") from None
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = reader.decode_symbol(dc_tbl)
-                        diff = _extend(reader.read_bits(size), size)
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_symbol(ac_tbl)
-                            run, sz = rs >> 4, rs & 0xF
-                            if sz == 0:
-                                if run == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise JpegError("AC run past block end")
-                            zz[k] = _extend(reader.read_bits(sz), sz)
-                            k += 1
-                        block = np.zeros(64, dtype=np.int64)
-                        block[ZIGZAG] = zz * c["q"]
-                        px = idct2(block.reshape(8, 8).astype(np.float64))
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu_index += 1
-
-    out_planes = []
-    for c, plane in zip(comps, planes):
+    planes = []
+    for c, cf in zip(comps, coefs):
+        plane = np.zeros((cf.shape[0] * 8, cf.shape[1] * 8), np.float64)
+        for by in range(cf.shape[0]):
+            for bx in range(cf.shape[1]):
+                zz = cf[by, bx]
+                block = np.zeros(64, dtype=np.int64)
+                block[ZIGZAG] = zz * c["q"]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct2(
+                    block.reshape(8, 8).astype(np.float64)
+                )
         if c["h"] != hmax or c["v"] != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
             )
-        out_planes.append(plane[:h, :w] + 128.0)
+        planes.append(plane[:h, :w] + 128.0)
 
     if nc == 1:
-        rgb = out_planes[0][:, :, None]
+        rgb = planes[0][:, :, None]
     else:
-        y, cb, cr = out_planes
+        y, cb, cr = planes
         cb = cb - 128.0
         cr = cr - 128.0
         rgb = np.stack(
@@ -571,5 +772,209 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encoder
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """AC point transform: magnitude shift, rounding toward zero."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _emit_ac_first_block(writer, ac_codes, vals, ss, se):
+    nz = [k for k in range(ss, se + 1) if vals[k]]
+    if not nz:
+        code, length = ac_codes[0x00]
+        writer.write(code, length)
+        return
+    last = nz[-1]
+    k = ss
+    while k <= last:
+        run = 0
+        while vals[k] == 0:
+            run += 1
+            k += 1
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            run -= 16
+        v = int(vals[k])
+        size = abs(v).bit_length()
+        code, length = ac_codes[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+        k += 1
+    if last < se:
+        code, length = ac_codes[0x00]
+        writer.write(code, length)
+
+
+def _emit_ac_refine_block(writer, ac_codes, full, approx, ss, se):
+    """Mirror of ``_ac_refine``: emit rs, then the sign bit (for
+    insertions), then the correction bits the decoder's advance loop
+    will consume in positional order."""
+    k = ss
+    while k <= se:
+        run = 0
+        pending = []
+        target = None
+        j = k
+        while j <= se:
+            if approx[j] != 0:
+                pending.append(abs(int(full[j])) & 1)
+            elif full[j] != 0:
+                target = j
+                break
+            else:
+                run += 1
+                if run == 16:
+                    break
+            j += 1
+        if run == 16 and target is None:  # ZRL: 16 zero-history coefs
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            for bit in pending:
+                writer.write(bit, 1)
+            k = j + 1
+            continue
+        if target is None:  # rest of block: corrections only
+            code, length = ac_codes[0x00]
+            writer.write(code, length)
+            for bit in pending:
+                writer.write(bit, 1)
+            return
+        code, length = ac_codes[(run << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if full[target] > 0 else 0, 1)
+        for bit in pending:
+            writer.write(bit, 1)
+        k = target + 1
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 (h, w), (h, w, 1) or (h, w, 3) -> PROGRESSIVE (SOF2) JFIF
+    bytes, 4:4:4, with the scan script [interleaved DC first Al=1]
+    [DC refine Al=0] then per component [AC 1-63 first Al=1]
+    [AC 1-63 refine Al=0] — every progressive scan kind is exercised.
+    Quantized coefficients are identical to ``encode_jpeg`` at the same
+    quality, so baseline and progressive encodes of one image decode to
+    IDENTICAL pixels (the cross-codec equality test)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 3):
+        raise JpegError(f"unsupported array shape {px.shape}")
+    h, w, nc = px.shape
+    if h == 0 or w == 0:
+        raise JpegError("zero dimension")
+
+    qluma, qchroma = _quality_tables(quality)
+    if nc == 3:
+        f = px.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        qtabs = [qluma, qchroma, qchroma]
+        qsel = [0, 1, 1]
+    else:
+        planes = [px[:, :, 0].astype(np.float64)]
+        qtabs = [qluma]
+        qsel = [0]
+
+    bh, bw = -(-h // 8), -(-w // 8)
+    coefs = []
+    for plane, q in zip(planes, qtabs):
+        p = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        p[:h, :w] = plane
+        p[h:, :w] = plane[-1:, :]
+        p[:, w:] = p[:, w - 1 : w]
+        cz = np.empty((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                qq = np.round(
+                    dct2(block - 128.0).reshape(64) / q
+                ).astype(np.int64)
+                cz[by, bx] = qq[ZIGZAG]
+        coefs.append(cz)
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    def sos(sel, ss, se, ah, al):
+        body = bytes([len(sel)])
+        for cid, td, ta in sel:
+            body += struct.pack(">BB", cid, (td << 4) | ta)
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    for tq, tbl in enumerate([qluma, qchroma][: max(qsel) + 1]):
+        body = bytes([tq]) + bytes(int(v) for v in tbl[ZIGZAG])
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    sofseg = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sofseg += struct.pack(">BBB", ci + 1, 0x11, qsel[ci])
+    out += b"\xff\xc2" + struct.pack(">H", len(sofseg) + 2) + sofseg
+    out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht_segment(1, 0, _AC_BITS, _AC_VALS)
+
+    # scan 1: DC first (Al=1), interleaved over all components
+    out += sos([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 0, 1)
+    wtr = _BitWriter()
+    pred = [0] * nc
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nc):
+                dc1 = int(coefs[ci][by, bx, 0]) >> 1  # arithmetic shift
+                diff = dc1 - pred[ci]
+                pred[ci] = dc1
+                size = abs(diff).bit_length()
+                code, length = dc_codes[size]
+                wtr.write(code, length)
+                if size:
+                    wtr.write(
+                        diff if diff >= 0 else diff + (1 << size) - 1, size
+                    )
+    out += wtr.flush()
+
+    # scan 2: DC refine (Ah=1, Al=0) — raw bits, no huffman table
+    out += sos([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nc):
+                wtr.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+    out += wtr.flush()
+
+    for ci in range(nc):
+        # AC first (Al=1) then AC refine (Ah=1, Al=0), one component each
+        out += sos([(ci + 1, 0, 0)], 1, 63, 0, 1)
+        wtr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                vals = [
+                    _trunc_shift(int(v), 1) for v in coefs[ci][by, bx]
+                ]
+                _emit_ac_first_block(wtr, ac_codes, vals, 1, 63)
+        out += wtr.flush()
+
+        out += sos([(ci + 1, 0, 0)], 1, 63, 1, 0)
+        wtr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                full = coefs[ci][by, bx]
+                approx = [_trunc_shift(int(v), 1) for v in full]
+                _emit_ac_refine_block(wtr, ac_codes, full, approx, 1, 63)
+        out += wtr.flush()
+
     out += b"\xff\xd9"
     return bytes(out)

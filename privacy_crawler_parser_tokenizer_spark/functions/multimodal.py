@@ -11,7 +11,7 @@ Spark-side plumbing (schemas, partitioning, mapInPandas batch shape,
 UDF signatures) is real and tested.  The codec chain in ``_decode_one``
 is: Pillow if present (absent in this container) -> the pure-stdlib
 codecs (``core/png.py`` — RFC 2083 PNG; ``core/bitmaps.py`` — BMP and
-netpbm PPM/PGM; ``core/jpeg.py`` — baseline JPEG; ``core/gif.py`` —
+netpbm PPM/PGM; ``core/jpeg.py`` — JPEG, baseline AND progressive/SOF2; ``core/gif.py`` —
 GIF87a/89a incl. animation; ``core/wav.py`` — RIFF PCM audio;
 ``core/webp.py`` — lossless WebP/VP8L incl. all four transforms: REAL
 decode/resize/encode for all seven) -> ``FakeCodec``, a deterministic,
@@ -20,13 +20,16 @@ webp — its boolean range coder + loop filter stay out of scope) that
 derives dimensions/features from a content hash so tests are
 reproducible (geometry for lossy VP8 is still REAL, from the header).
 ``frame_sample_media`` decodes REAL frames from animated GIFs, APNGs,
-and AVI videos (``core/avi.py`` — RIFF container with MJPEG frames via
-the baseline-JPEG DCT path, or uncompressed DIB frames) and yields one
-labeled ``ok=false`` NULL-content row for the rest (never fake bytes);
+animated WebP, and AVI videos (``core/avi.py`` — RIFF container with
+MJPEG frames via the JPEG DCT path, or uncompressed DIB frames), plus
+decodable stills as one-frame animations, and yields one labeled
+``ok=false`` NULL-content row for the rest (never fake bytes);
 ``media_features`` computes REAL PCM features (duration/RMS/peak/ZCR +
-spectral bands) for WAV payloads and falls back to the byte-histogram
-embedding otherwise.  Swapping in a full decoder touches only
-``_decode_one`` / ``resize_media``'s codec table.
+spectral bands) for WAV payloads, REAL pixel features (log-area,
+aspect, luminance stats + histogram) for decodable images, and falls
+back to the byte-histogram embedding only for undecodable bytes.
+Swapping in a full decoder touches only ``_decode_one`` /
+``resize_media``'s codec table.
 
 Scale notes: decode/feature stages are ``mapInPandas`` over the media
 table repartitioned by ``media_ref`` hash (bytes never shuffle twice);

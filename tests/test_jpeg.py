@@ -286,3 +286,150 @@ def test_resize_media_real_jpeg_pixels(spark):
                               30, 60)
     err = np.abs(out.astype(int) - want.astype(int))
     assert err.mean() <= 6.0
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+
+def test_progressive_equals_baseline_pixels():
+    # Same quantizer on both paths -> identical coefficients -> the
+    # decoded pixels must match EXACTLY, not just approximately.
+    rng = np.random.default_rng(5)
+    for shape, q in [((8, 8, 1), 90), ((20, 24, 3), 90), ((17, 9, 3), 50),
+                     ((40, 33, 3), 75), ((33, 31, 1), 95)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg(img, quality=q))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=q))
+        assert (base == prog).all(), (shape, q)
+
+
+def test_progressive_smooth_image_many_eobs():
+    # gradients leave long zero tails -> EOB / ZRL paths in every scan
+    y, x = np.mgrid[0:48, 0:40]
+    img = ((y * 3 + x * 2) % 256).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=60))
+    prog = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=60))
+    assert (base == prog).all()
+
+
+def test_progressive_meta_and_close_to_source():
+    img = np.full((16, 16, 3), 128, np.uint8)
+    img[4:12, 4:12] = [200, 40, 90]
+    data = J.encode_jpeg_progressive(img, quality=95)
+    assert J.jpeg_meta(data) == (16, 16, 3)
+    out = J.decode_jpeg(data)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+
+
+# the embedded encoder table has no EOBn (n>0) symbols — hand-packed
+# EOB-run scans use this tiny AC table instead (5 codes, length 3)
+_EOB_AC_BITS = [0, 0, 5] + [0] * 13
+_EOB_AC_VALS = [0x00, 0x01, 0x02, 0x10, 0xF0]
+
+
+def _progressive_shell(scans, eob_table=False):
+    """Minimal 16x8 grayscale progressive container around hand-built
+    scan payloads: [(sos_bytes, entropy_bytes), ...]."""
+    out = bytearray(b"\xff\xd8")
+    tbl = np.ones(64, dtype=np.int64)
+    body = bytes([0]) + bytes(int(v) for v in tbl)
+    out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    sof = struct.pack(">BHHB", 8, 8, 16, 1) + struct.pack(">BBB", 1, 0x11, 0)
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += J._dht_segment(0, 0, J._DC_BITS, J._DC_VALS)
+    if eob_table:
+        out += J._dht_segment(1, 0, _EOB_AC_BITS, _EOB_AC_VALS)
+    else:
+        out += J._dht_segment(1, 0, J._AC_BITS, J._AC_VALS)
+    for sos_body, entropy in scans:
+        out += b"\xff\xda" + struct.pack(">H", len(sos_body) + 2) + sos_body
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_eob_run_skips_blocks():
+    # Two blocks; the AC-first scan ends block 1 with EOB1 (eobrun=1),
+    # so block 2 is skipped entirely — the decoder path the in-repo
+    # encoder (EOB0-only) never produces.
+    dc_codes = J._canonical_codes(J._DC_BITS, J._DC_VALS)
+    ac_codes = J._canonical_codes(_EOB_AC_BITS, _EOB_AC_VALS)
+    w = J._BitWriter()
+    for _ in range(2):          # DC scan (Ss=0, Ah=0, Al=0): both DC=0
+        code, length = dc_codes[0]
+        w.write(code, length)
+    dc_entropy = w.flush()
+    w = J._BitWriter()
+    code, length = ac_codes[0x02]   # block 1: AC k=1, size 2
+    w.write(code, length)
+    w.write(0b11, 2)                # value +3 (big enough to survive
+    #                                 rounding after the IDCT)
+    code, length = ac_codes[0x10]   # EOBn with run=1
+    w.write(code, length)
+    w.write(0, 1)                   # extra bit 0 -> eobrun = 1
+    ac_entropy = w.flush()
+    data = _progressive_shell([
+        (bytes([1, 1, 0x00, 0, 0, 0x00]), dc_entropy),
+        (bytes([1, 1, 0x00, 1, 63, 0x00]), ac_entropy),
+    ], eob_table=True)
+    out = J.decode_jpeg(data)
+    assert out.shape == (8, 16, 1)
+    # block 1 carries one AC coefficient, block 2 is flat 128
+    assert (out[:, 8:, 0] == 128).all()
+    assert out[:, :8, 0].std() > 0
+
+
+def test_progressive_refine_eob_run_corrections():
+    # AC-first gives both blocks a coef at k=1 (value 2 at Al=1 -> raw
+    # 2<<1=4); the refine scan emits EOB1 immediately in block 1, so
+    # BOTH blocks take the corrections-only path; correction bit 1
+    # grows each coefficient's magnitude by 1.
+    dc_codes = J._canonical_codes(J._DC_BITS, J._DC_VALS)
+    ac_codes = J._canonical_codes(_EOB_AC_BITS, _EOB_AC_VALS)
+    w = J._BitWriter()
+    for _ in range(2):
+        code, length = dc_codes[0]
+        w.write(code, length)
+    dc_entropy = w.flush()
+    w = J._BitWriter()
+    for _ in range(2):              # per block: k=1 value +2, then EOB0
+        code, length = ac_codes[0x02]
+        w.write(code, length)
+        w.write(0b10, 2)            # +2
+        code, length = ac_codes[0x00]
+        w.write(code, length)
+    first_entropy = w.flush()
+    w = J._BitWriter()
+    code, length = ac_codes[0x10]   # EOB1 immediately (block 1 + skip 1)
+    w.write(code, length)
+    w.write(0, 1)
+    w.write(1, 1)                   # correction bit for block 1's coef
+    w.write(1, 1)                   # correction bit for block 2's coef
+    refine_entropy = w.flush()
+    data = _progressive_shell([
+        (bytes([1, 1, 0x00, 0, 0, 0x00]), dc_entropy),
+        (bytes([1, 1, 0x00, 1, 63, 0x01]), first_entropy),   # Al=1
+        (bytes([1, 1, 0x00, 1, 63, 0x10]), refine_entropy),  # Ah=1,Al=0
+    ], eob_table=True)
+    out = J.decode_jpeg(data)
+    # raw coef 4 refined to 5: IDCT of a single AC basis differs from
+    # the unrefined value -> just assert both blocks decoded identically
+    # and are non-flat (corrections were consumed in both paths)
+    assert (out[:, :8, 0] == out[:, 8:, 0]).all()
+    assert out[:, :8, 0].std() > 0
+
+
+def test_progressive_rejects_bad_scan_headers():
+    dc_codes = J._canonical_codes(J._DC_BITS, J._DC_VALS)
+    w = J._BitWriter()
+    for _ in range(2):
+        code, length = dc_codes[0]
+        w.write(code, length)
+    ent = w.flush()
+    with pytest.raises(J.JpegError):  # DC scan with Se != 0
+        J.decode_jpeg(_progressive_shell([(bytes([1, 1, 0, 0, 5, 0]), ent)]))
+    with pytest.raises(J.JpegError):  # AC scan with Ss > Se
+        J.decode_jpeg(_progressive_shell([
+            (bytes([1, 1, 0, 0, 0, 0]), ent),
+            (bytes([1, 1, 0, 9, 5, 0]), b"\x00"),
+        ]))
