@@ -433,3 +433,77 @@ def test_progressive_rejects_bad_scan_headers():
             (bytes([1, 1, 0, 0, 0, 0]), ent),
             (bytes([1, 1, 0, 9, 5, 0]), b"\x00"),
         ]))
+
+
+def test_progressive_420_subsampled_matches_baseline():
+    """Hand-built progressive 4:2:0 stream (interleaved DC scan +
+    per-component EOB-only AC scans over each component's OWN
+    ceil(dim/8) grid) must decode identically to the proven baseline
+    writer's stream carrying the same coefficients."""
+    rng = np.random.default_rng(9)
+    h, w = 32, 48
+    tiles = rng.integers(40, 216, (h // 8, w // 8)).astype(np.float64)
+    y = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    cb = np.full((h // 2, w // 2), 128.0)
+    cr = np.full((h // 2, w // 2), 128.0)
+    qtab = np.ones(64, dtype=np.int64)
+    ref = J.decode_jpeg(_build_420_jpeg(y, cb, cr, qtab, restart=0))
+
+    dc_codes = J._canonical_codes(J._DC_BITS, J._DC_VALS)
+    ac_codes = J._canonical_codes(J._AC_BITS, J._AC_VALS)
+
+    def dc_of(plane, by, bx):
+        block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+        return int(round(J.dct2(block - 128.0)[0, 0]))
+
+    wtr = J._BitWriter()
+    preds = [0, 0, 0]
+
+    def emit_dc(ci, v):
+        diff = v - preds[ci]
+        preds[ci] = v
+        size = abs(diff).bit_length()
+        code, length = dc_codes[size]
+        wtr.write(code, length)
+        if size:
+            wtr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for by in range(2):
+                for bx in range(2):
+                    emit_dc(0, dc_of(y, my * 2 + by, mx * 2 + bx))
+            emit_dc(1, dc_of(cb, my, mx))
+            emit_dc(2, dc_of(cr, my, mx))
+    dc_entropy = wtr.flush()
+
+    def eob_scan(nblocks):
+        wr = J._BitWriter()
+        code, length = ac_codes[0x00]
+        for _ in range(nblocks):
+            wr.write(code, length)
+        return wr.flush()
+
+    out = bytearray(b"\xff\xd8")
+    body = bytes([0]) + bytes(int(v) for v in qtab[J.ZIGZAG])
+    out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += struct.pack(">BBB", 1, 0x22, 0)
+    sof += struct.pack(">BBB", 2, 0x11, 0)
+    sof += struct.pack(">BBB", 3, 0x11, 0)
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += J._dht_segment(0, 0, J._DC_BITS, J._DC_VALS)
+    out += J._dht_segment(1, 0, J._AC_BITS, J._AC_VALS)
+    sos = bytes([3]) + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 0, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += dc_entropy
+    for cid, nblocks in ((1, (h // 8) * (w // 8)),
+                         (2, (h // 16) * (w // 16)),
+                         (3, (h // 16) * (w // 16))):
+        sos = bytes([1, cid, 0x00]) + bytes([1, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        out += eob_scan(nblocks)
+    out += b"\xff\xd9"
+
+    got = J.decode_jpeg(bytes(out))
+    assert np.array_equal(got, ref)
