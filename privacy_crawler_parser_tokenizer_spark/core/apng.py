@@ -118,6 +118,9 @@ def decode_apng(data: bytes) -> np.ndarray:
         raise ApngError("unknown compression/filter method")
     if interlace != 0:
         raise ApngError("interlaced (Adam7) not supported")
+    from .png import MAX_DECODE_PIXELS
+    if w * h > MAX_DECODE_PIXELS:
+        raise ApngError(f"implausible canvas {w}x{h}")
     canvas = np.zeros((h, w, 4), dtype=np.uint8)
     out = []
     for i, (fctl, zdata, _) in enumerate(frames):

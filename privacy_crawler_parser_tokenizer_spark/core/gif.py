@@ -232,10 +232,15 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
     return out
 
 
+MAX_DECODE_PIXELS = 1 << 26  # executor-memory DoS guard: decode refuses implausible header geometry
+
+
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes -> uint8 array (n_frames, height, width, 3), frames
     composited per the 89a disposal/transparency rules."""
     width, height, gct, bg_index, _pos = _header(data)
+    if width * height > MAX_DECODE_PIXELS:
+        raise GifError(f"implausible canvas {width}x{height}")
     if gct is not None and bg_index < len(gct):
         bg = gct[bg_index]
     else:

@@ -43,6 +43,9 @@ class JpegError(ValueError):
     pass
 
 
+MAX_DECODE_PIXELS = 1 << 26  # executor-memory DoS guard: decode refuses implausible header geometry
+
+
 def _guarded(fn):
     """Malformed input shows up as IndexError/struct.error deep in the
     bit/marker readers — surface it uniformly as JpegError."""
@@ -545,6 +548,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise JpegError("zero dimension")
             if nc not in (1, 3):
                 raise JpegError(f"unsupported component count {nc}")
+            if h * w > MAX_DECODE_PIXELS:
+                raise JpegError(f"implausible geometry {w}x{h}")
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", data, s + 6 + 3 * i)

@@ -96,8 +96,13 @@ def decode_png(data: bytes) -> np.ndarray:
     return decode_idat(bytes(idat), w, h, color, plte)
 
 
+MAX_DECODE_PIXELS = 1 << 26  # executor-memory DoS guard: decode refuses implausible header geometry
+
+
 def decode_idat(zdata: bytes, w: int, h: int, color: int,
                 plte: bytes | None = None) -> np.ndarray:
+    if w * h > MAX_DECODE_PIXELS:
+        raise PngError(f"implausible geometry {w}x{h}")
     """Decode one zlib'd filtered-scanline stream (the body of IDAT —
     or of an APNG fdAT frame, which reuses the identical encoding) to
     a (h, w, channels) uint8 array.  Shared by ``decode_png`` and

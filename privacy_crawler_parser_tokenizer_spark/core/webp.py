@@ -41,6 +41,9 @@ class WebpError(ValueError):
     pass
 
 
+MAX_DECODE_PIXELS = 1 << 26  # executor-memory DoS guard: decode refuses implausible header geometry
+
+
 def webp_meta(data: bytes) -> tuple[int, int, int]:
     """(width, height, n_channels) from the first image-bearing chunk."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
@@ -511,6 +514,8 @@ def decode_vp8l(chunk: bytes) -> np.ndarray:
     Channel count follows the header's alpha-hint bit, mirroring
     ``webp_meta``'s geometry contract."""
     w, h, alpha = _vp8l_meta(chunk)
+    if w * h > MAX_DECODE_PIXELS:
+        raise WebpError(f"implausible geometry {w}x{h}")
     br = _BitReader(chunk)
     br.read(8)   # signature
     br.read(28)  # 14-bit w-1 / 14-bit h-1
@@ -928,6 +933,8 @@ def webp_frames(data: bytes) -> np.ndarray:
     if not frames:
         raise WebpError("animated WebP without ANMF frames")
     cw, ch_ = canvas_wh
+    if cw * ch_ > MAX_DECODE_PIXELS:
+        raise WebpError(f"implausible canvas {cw}x{ch_}")
     canvas = np.zeros((ch_, cw, 4), dtype=np.uint8)
     out = []
     for fx, fy, fw, fh, flags, sub in frames:

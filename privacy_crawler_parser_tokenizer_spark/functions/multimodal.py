@@ -300,7 +300,9 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
 
     anim_codecs = (
         (gif.decode_gif, gif.encode_gif, gif.GifError),
-        (apng.decode_apng, apng.encode_apng, apng.ApngError),
+        # decode_apng raises plain PngError on malformed CONTAINER bytes
+        # (ApngError only for APNG-layer faults) — catch the base class
+        (apng.decode_apng, apng.encode_apng, png.PngError),
         (webp.webp_frames, webp.encode_webp_anim, webp.WebpError),
         (avi.decode_avi, lambda fr: avi.encode_avi(fr, codec="rgb"),
          avi.AviError),
@@ -417,7 +419,7 @@ def frame_sample_media(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 frames = None
                 for decode, err in (
                     (gif.decode_gif, gif.GifError),
-                    (apng.decode_apng, apng.ApngError),
+                    (apng.decode_apng, png.PngError),  # base class: see resize note
                     (avi.decode_avi, avi.AviError),
                     (_webp_any, webp.WebpError),
                     (_still(png.decode_png), png.PngError),
