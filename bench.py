@@ -57,7 +57,7 @@ HEADLINE = [
     "ivf_topk",
     "pq_topk",
     "embedding_neardup",
-    "neardup_not_exact",
+    "train_quality_perceptron",
     "docs_without_pairs",
     "frontier_crawl",
 ]

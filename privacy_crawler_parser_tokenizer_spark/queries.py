@@ -219,38 +219,169 @@ def q_lang_rollup(spark, sf_dir):
     )
 
 
-@query(
-    "neardup_not_exact",
-    f"""
-    WITH e AS ({_EMB_E_SQL}),
-    near AS ({_NEAR_PAIRS_SQL}),
-    ident AS (
-      SELECT a.vec_id AS a, b.vec_id AS b
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE a.emb = b.emb
+_SW = "['" + "', '".join(EN_STOPWORDS) + "']"
+
+
+def _perceptron_stage_sql(t: int) -> str:
+    """Stage t of the pocket-perceptron oracle: update stage t-1's
+    weights over misclassified rows AND record how many rows those
+    incoming weights classify with positive margin (the pocket score,
+    measured without an extra pass) — mirrors the Spark loop in
+    q_train_quality_perceptron exactly."""
+    p = f"w{t - 1}"
+    m = f"y*({p}.a*x1 + {p}.b*x2 + {p}.c*x3 + {p}.d*x4 + {p}.e*x5)"
+    cols = ",\n             ".join(
+        f"CAST({p}.{c} + coalesce(sum(CASE WHEN {m} <= 0 "
+        f"THEN y*x{k} END), 0) AS BIGINT) {c}"
+        for k, c in ((1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e"))
     )
-    SELECT a, b FROM near EXCEPT SELECT a, b FROM ident
+    return (
+        f"w{t} AS (\n      SELECT {cols},\n"
+        f"             CAST(coalesce(sum(CASE WHEN {m} > 0 THEN 1 END), 0)"
+        f" AS BIGINT) nc\n"
+        f"      FROM f, {p} GROUP BY {p}.a, {p}.b, {p}.c, {p}.d, {p}.e\n    )"
+    )
+
+
+_PERCEPTRON_STAGES = ",\n    ".join(_perceptron_stage_sql(t) for t in range(2, 7))
+
+
+@query(
+    "train_quality_perceptron",
+    f"""
+    WITH w AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS words
+      FROM documents
+    ), x AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS x1,
+        CAST(CASE WHEN len(words) = 0 THEN 0
+             ELSE (1000 * len(list_filter(words, t -> list_contains({_SW}, t)))) // len(words)
+             END AS BIGINT) AS x2,
+        CAST(CASE WHEN len(text) = 0 THEN 0
+             ELSE (1000 * len(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))) // len(text)
+             END AS BIGINT) AS x3,
+        CAST(1 AS BIGINT) AS x4
+      FROM w
+    ), f AS (
+      SELECT doc_id, x1, x2, x3, x4, abs(x1 - 50) AS x5,
+             CAST(CASE WHEN x1 BETWEEN 25 AND 75 AND x2 >= 60
+                  THEN 1 ELSE -1 END AS BIGINT) AS y
+      FROM x
+    ),
+    w1 AS (
+      SELECT CAST(sum(y*x1) AS BIGINT) a, CAST(sum(y*x2) AS BIGINT) b,
+             CAST(sum(y*x3) AS BIGINT) c, CAST(sum(y*x4) AS BIGINT) d,
+             CAST(sum(y*x5) AS BIGINT) e
+      FROM f
+    ),
+    {_PERCEPTRON_STAGES},
+    cand AS (
+      SELECT 1 AS i, w1.a, w1.b, w1.c, w1.d, w1.e, w2.nc FROM w1, w2
+      UNION ALL SELECT 2, w2.a, w2.b, w2.c, w2.d, w2.e, w3.nc FROM w2, w3
+      UNION ALL SELECT 3, w3.a, w3.b, w3.c, w3.d, w3.e, w4.nc FROM w3, w4
+      UNION ALL SELECT 4, w4.a, w4.b, w4.c, w4.d, w4.e, w5.nc FROM w4, w5
+      UNION ALL SELECT 5, w5.a, w5.b, w5.c, w5.d, w5.e, w6.nc FROM w5, w6
+    ),
+    best AS (SELECT * FROM cand ORDER BY nc DESC, i ASC LIMIT 1)
+    SELECT f.doc_id,
+           CAST(best.a*x1 + best.b*x2 + best.c*x3 + best.d*x4 + best.e*x5 AS BIGINT) AS score,
+           CAST(CASE WHEN best.a*x1 + best.b*x2 + best.c*x3 + best.d*x4 + best.e*x5 > 0
+                THEN 1 ELSE -1 END AS BIGINT) AS pred,
+           f.y AS label
+    FROM f, best
     """,
 )
-def q_neardup_not_exact(spark, sf_dir):
-    """Set-operation coverage (EXCEPT): near-duplicate pairs that are
-    not byte-identical vectors — the 'fuzzy-only' dedup candidates.
+def q_train_quality_perceptron(spark, sf_dir):
+    """Distributed CLASSIFIER TRAINING (the Llama/DCLM quality-
+    classifier pipeline stage, linear-model edition): a POCKET batch
+    perceptron over integer quality features (word count, stopword
+    milli-ratio, punct milli-ratio, bias, |words-50|) with weak rule
+    labels.  Six full-batch iterations; each aggregation measures the
+    incoming weights' correct-count alongside the gradient, so the
+    pocket argmax over candidates w1..w5 (by correct-count, earliest
+    wins ties) costs NO extra pass and lifts accuracy well above the
+    majority baseline despite batch-perceptron oscillation.  All
+    arithmetic is exact int64 — gradients and correct-counts are
+    order-independent SUMs, so training is partitioning-invariant and
+    hash-exact against the 6-stage materialized-CTE DuckDB oracle
+    (the BPE-oracle pattern).
 
-    The near side reuses the label-bucketed block-GEMM kernel (no
-    per-pair norm recomputation); the identical side is an equi-join on
-    (label, embedding) — a hash join, never a pair scan.  ``subtract``
-    is set-semantics EXCEPT, matching the oracle even if either side
-    ever carried duplicate rows."""
-    near = _neardup_pairs_gemm(spark, sf_dir)
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    x, y = emb.alias("x"), emb.alias("y")
-    ident = x.join(
-        y,
-        (F.col("x.label") == F.col("y.label"))
-        & (F.col("x.embedding") == F.col("y.embedding"))
-        & (F.col("x.vec_id") < F.col("y.vec_id")),
-    ).select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
-    return near.subtract(ident)
+    Scale shape: each iteration is ONE partial-aggregable full-corpus
+    aggregation; only 5 weight integers + a count cross the driver per
+    iteration (broadcast-Lloyd's classifier twin, operators/kmeans.py).
+    Replaces the redundant EXCEPT demo `neardup_not_exact` on the
+    50-cap board (set-negation stays covered by `docs_without_pairs`)."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = words_col(F.lower(F.col("text")))
+    n = F.size(ws).cast("long")
+    n_stop = F.size(
+        F.filter(ws, lambda t: t.isin(*EN_STOPWORDS))
+    ).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_punct = F.length(
+        F.regexp_replace("text", r"[\p{L}\p{N}\s]", "")
+    ).cast("long")
+    feats = docs.select(
+        "doc_id",
+        n.alias("x1"),
+        (n_stop * 1000).alias("_s"),
+        (n_punct * 1000).alias("_p"),
+        n_chars.alias("_c"),
+    ).select(
+        "doc_id",
+        "x1",
+        F.when(F.col("x1") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("_s div x1")).alias("x2"),
+        F.when(F.col("_c") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("_p div _c")).alias("x3"),
+        F.lit(1).cast("long").alias("x4"),
+        F.abs(F.col("x1") - 50).cast("long").alias("x5"),
+    ).withColumn(
+        "y",
+        F.when(
+            F.col("x1").between(25, 75) & (F.col("x2") >= 60),
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(-1).cast("long")),
+    )
+    feats = feats.persist()  # six training scans; released below
+    try:
+        w = [0] * 5
+        cands = []
+        for t in range(6):
+            margin = F.col("y") * sum(
+                F.lit(int(w[k])) * F.col(f"x{k + 1}") for k in range(5)
+            )
+            row = feats.agg(
+                *[
+                    F.coalesce(
+                        F.sum(
+                            F.when(margin <= 0, F.col("y") * F.col(f"x{k + 1}"))
+                        ),
+                        F.lit(0),
+                    ).cast("long").alias(f"g{k}")
+                    for k in range(5)
+                ],
+                F.coalesce(
+                    F.sum(F.when(margin > 0, F.lit(1))), F.lit(0)
+                ).cast("long").alias("nc"),
+            ).collect()[0]
+            if t >= 1:  # nc measures the PRE-update weights = candidate w_t
+                cands.append((int(row["nc"]), -t, list(w)))
+            w = [w[k] + int(row[f"g{k}"]) for k in range(5)]
+        best = max(cands)[2]  # pocket: argmax correct-count, earliest t
+    finally:
+        feats.unpersist()
+    score = sum(F.lit(int(best[k])) * F.col(f"x{k + 1}") for k in range(5))
+    return feats.select(
+        "doc_id",
+        score.cast("long").alias("score"),
+        F.when(score > 0, F.lit(1).cast("long"))
+        .otherwise(F.lit(-1).cast("long")).alias("pred"),
+        F.col("y").alias("label"),
+    )
 
 
 @query(
@@ -298,7 +429,6 @@ def q_char_histogram(spark, sf_dir):
     )
 
 
-_SW = "['" + "', '".join(EN_STOPWORDS) + "']"
 
 
 @query(

@@ -329,3 +329,17 @@ def test_lm_bigram_score_orders_repetition(spark, tmp_path):
     }
     assert out[1].n_bigrams == 7 and out[2].n_bigrams == 8
     assert out[1].surprisal_milli < out[2].surprisal_milli
+
+
+def test_perceptron_pocket_beats_majority(spark):
+    # the pocket selection must beat the majority-class baseline — a
+    # plain batch perceptron oscillates to exactly the baseline here
+    from pyspark.sql import functions as F
+
+    # sf0.001 has ~50 docs — too few for the signal; use sf0.01
+    df = QUERIES["train_quality_perceptron"](spark, "/root/testdata/sf0.01")
+    r = df.agg(
+        F.avg((F.col("pred") == F.col("label")).cast("double")).alias("acc"),
+        F.avg((F.col("label") == 1).cast("double")).alias("pos"),
+    ).collect()[0]
+    assert r.acc > max(r.pos, 1 - r.pos) + 0.05, (r.acc, r.pos)
