@@ -507,3 +507,67 @@ def test_progressive_420_subsampled_matches_baseline():
 
     got = J.decode_jpeg(bytes(out))
     assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("quality", [35, 75, 95])
+def test_progressive_equality_hypothesis_breadth(quality):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.integers(1, 3), st.integers(1, 40), st.integers(1, 40),
+           st.integers(0, 2**32 - 1))
+    def inner(ch, h, w, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if ch == 3 else (h, w, 1)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg(img, quality=quality))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=quality))
+        assert (base == prog).all()
+
+    inner()
+
+
+def test_progressive_restart_interval_resets_state():
+    # DRI + RST markers inside a progressive DC scan: predictors must
+    # reset at each restart (decoder path not exercised by the in-repo
+    # encoder, which never emits DRI).
+    dc_codes = J._canonical_codes(J._DC_BITS, J._DC_VALS)
+
+    def emit_dc(wtr, diff):
+        size = abs(diff).bit_length()
+        code, length = dc_codes[size]
+        wtr.write(code, length)
+        if size:
+            wtr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+
+    # 2 blocks, restart_interval=1: each block's DC is coded as a diff
+    # against a RESET predictor (0), so both diffs are absolute values.
+    w1 = J._BitWriter(); emit_dc(w1, 100)   # block 1: DC 100
+    w2 = J._BitWriter(); emit_dc(w2, -50)   # block 2: DC -50 (pred reset)
+    entropy = w1.flush() + b"\xff\xd0" + w2.flush()
+    ac = J._BitWriter()
+    code, length = J._canonical_codes(J._AC_BITS, J._AC_VALS)[0x00]
+    ac.write(code, length); ac.write(code, length)  # EOB both blocks
+
+    out = bytearray(b"\xff\xd8")
+    tbl = np.ones(64, dtype=np.int64)
+    body = bytes([0]) + bytes(int(v) for v in tbl)
+    out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    out += b"\xff\xdd" + struct.pack(">HH", 4, 1)   # DRI = 1 MCU
+    sof = struct.pack(">BHHB", 8, 8, 16, 1) + struct.pack(">BBB", 1, 0x11, 0)
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += J._dht_segment(0, 0, J._DC_BITS, J._DC_VALS)
+    out += J._dht_segment(1, 0, J._AC_BITS, J._AC_VALS)
+    sos = bytes([1, 1, 0x00, 0, 0, 0x00])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += entropy
+    sos = bytes([1, 1, 0x00, 1, 63, 0x00])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += ac.flush()
+    out += b"\xff\xd9"
+
+    px = J.decode_jpeg(bytes(out))
+    # DC 100 -> 128 + 100/8 = 140.5; DC -50 -> 128 - 6.25 = 121.75
+    assert abs(int(px[0, 0, 0]) - 141) <= 1
+    assert abs(int(px[0, 8, 0]) - 122) <= 1

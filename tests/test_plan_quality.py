@@ -343,3 +343,17 @@ def test_perceptron_pocket_beats_majority(spark):
         F.avg((F.col("label") == 1).cast("double")).alias("pos"),
     ).collect()[0]
     assert r.acc > max(r.pos, 1 - r.pos) + 0.05, (r.acc, r.pos)
+
+
+def test_lm_bigram_score_plan_shape(spark):
+    # count-table joins are equi-joins (broadcastable at small SF,
+    # shuffleable at scale); partial aggregation everywhere; the ONLY
+    # nested-loop join is the broadcast 1-row vocabulary-size scalar
+    import re
+
+    p = plan(spark, "lm_bigram_score")
+    assert has_partial_aggregation(p), p
+    # formatted plans print each node twice (tree + detail) — count ids
+    bnlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", p))
+    assert len(bnlj) <= 1, p
+    assert "CartesianProduct" not in p, p
