@@ -624,3 +624,23 @@ def test_resize_media_animated_paths(spark):
     assert (w.width, w.height) == (10, 2)  # 30x8 at scale 1/3
     wf = webp.webp_frames(bytes(w.content))
     assert wf.shape[0] == 2 and (wf[0, ..., :3] == 5).all() and (wf[1, ..., :3] == 250).all()
+
+
+def test_vp8l_combined_transforms_inverse_order():
+    # stream order [subtract-green, predictor] -> the decoder must
+    # invert in REVERSE order: predictor first, then add-green.
+    bw = _W()
+    _vp8l_header(bw, 2, 2)
+    bw.w(1, 1); bw.w(2, 2)       # transform: subtract green
+    bw.w(1, 1); bw.w(0, 2)       # transform: predictor
+    bw.w(0, 3)                   # size_bits = 2 -> one tile
+    bw.w(0, 1)                   # sub-image: no cache
+    _solid_group(bw, a=0, r=0, g=1, b=0)   # predictor mode 1 (L)
+    bw.w(0, 1)                   # end transforms
+    bw.w(0, 1); bw.w(0, 1)       # no cache / no meta
+    _solid_group(bw, a=0, r=1, g=1, b=1)   # residuals (0,1,1,1)
+    px = webp.decode_vp8l(bw.payload())
+    # predictor-inverse: (0,0)=ff010101 (black base), (1,0)/(0,1)=
+    # ff020202, (1,1)=ff030303; then add-green: r+=g, b+=g per pixel
+    assert px.tolist() == [[[2, 1, 2], [4, 2, 4]],
+                           [[4, 2, 4], [6, 3, 6]]]
