@@ -472,3 +472,35 @@ def test_media_features_real_image_path(spark):
         assert sum(hist[1:-1]) == 0.0
     assert feats["p"] == feats["w"]
     assert abs(sum(feats["x"]) - 1.0) < 1e-5  # fallback stays byte-histogram
+
+
+def test_media_meta_stream_incremental(spark, tmp_path):
+    import numpy as np
+
+    from privacy_crawler_parser_tokenizer_spark.core import png, webp
+    from privacy_crawler_parser_tokenizer_spark.streaming import jobs
+
+    src = str(tmp_path / "media_in")
+    img1 = np.full((6, 9, 3), 40, np.uint8)
+    spark.createDataFrame(
+        [("a", "m://a", "png", bytearray(png.encode_png(img1)))],
+        schema=mm.MEDIA_SCHEMA,
+    ).write.mode("append").parquet(src)
+    stream = jobs.media_meta_stream(jobs.read_media_stream(spark, src))
+    jobs.run_to_memory(stream, "media_meta_stream")
+    got = {r.doc_id: r for r in spark.sql(
+        "SELECT * FROM media_meta_stream").collect()}
+    assert got["a"].width == 9 and got["a"].height == 6 and got["a"].ok
+    # second arriving wave: a lossless webp + adversarial bytes
+    img2 = np.full((4, 5, 3), 90, np.uint8)
+    spark.createDataFrame(
+        [("b", "m://b", "webp", bytearray(webp.encode_webp(img2))),
+         ("c", "m://c", "bin", bytearray(b"\x13\x37" * 40))],
+        schema=mm.MEDIA_SCHEMA,
+    ).write.mode("append").parquet(src)
+    jobs.run_to_memory(stream, "media_meta_stream")
+    got = {r.doc_id: r for r in spark.sql(
+        "SELECT * FROM media_meta_stream").collect()}
+    assert len(got) == 3
+    assert got["b"].width == 5 and got["b"].ok
+    assert not got["c"].ok  # labeled ok=false; the stream never fails
