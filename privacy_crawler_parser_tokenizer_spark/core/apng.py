@@ -150,6 +150,8 @@ def decode_apng(data: bytes) -> np.ndarray:
             )
         else:
             raise ApngError(f"unknown blend_op {blend}")
+        if (len(out) + 1) * w * h > MAX_DECODE_PIXELS:
+            raise ApngError("animation exceeds the decode pixel budget")
         out.append(canvas.copy())
         if dispose == 1:
             canvas[fy : fy + fh, fx : fx + fw] = 0

@@ -232,7 +232,7 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
     return out
 
 
-MAX_DECODE_PIXELS = 1 << 26  # executor-memory DoS guard: decode refuses implausible header geometry
+from .png import MAX_DECODE_PIXELS  # shared executor-memory DoS guard
 
 
 def decode_gif(data: bytes) -> np.ndarray:
@@ -241,6 +241,7 @@ def decode_gif(data: bytes) -> np.ndarray:
     width, height, gct, bg_index, _pos = _header(data)
     if width * height > MAX_DECODE_PIXELS:
         raise GifError(f"implausible canvas {width}x{height}")
+    budget = MAX_DECODE_PIXELS  # TOTAL output (frames x canvas) budget
     if gct is not None and bg_index < len(gct):
         bg = gct[bg_index]
     else:
@@ -278,6 +279,8 @@ def decode_gif(data: bytes) -> np.ndarray:
             canvas[region][mask] = rgb[mask]
         else:
             canvas[region] = rgb
+        if (len(frames) + 1) * width * height > budget:
+            raise GifError("animation exceeds the decode pixel budget")
         frames.append(canvas.copy())
         if disposal == 2:
             canvas[region] = bg

@@ -43,7 +43,7 @@ class JpegError(ValueError):
     pass
 
 
-MAX_DECODE_PIXELS = 1 << 26  # executor-memory DoS guard: decode refuses implausible header geometry
+from .png import MAX_DECODE_PIXELS  # shared executor-memory DoS guard
 
 
 def _guarded(fn):

@@ -101,12 +101,12 @@ MAX_DECODE_PIXELS = 1 << 26  # executor-memory DoS guard: decode refuses implaus
 
 def decode_idat(zdata: bytes, w: int, h: int, color: int,
                 plte: bytes | None = None) -> np.ndarray:
-    if w * h > MAX_DECODE_PIXELS:
-        raise PngError(f"implausible geometry {w}x{h}")
     """Decode one zlib'd filtered-scanline stream (the body of IDAT —
     or of an APNG fdAT frame, which reuses the identical encoding) to
     a (h, w, channels) uint8 array.  Shared by ``decode_png`` and
     ``core.apng.decode_apng``."""
+    if w * h > MAX_DECODE_PIXELS:
+        raise PngError(f"implausible geometry {w}x{h}")
     ch = _CHANNELS[color]
     stride = w * ch
     raw = zlib.decompress(zdata)

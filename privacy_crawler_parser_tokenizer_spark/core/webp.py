@@ -41,7 +41,7 @@ class WebpError(ValueError):
     pass
 
 
-MAX_DECODE_PIXELS = 1 << 26  # executor-memory DoS guard: decode refuses implausible header geometry
+from .png import MAX_DECODE_PIXELS  # shared executor-memory DoS guard
 
 
 def webp_meta(data: bytes) -> tuple[int, int, int]:
@@ -744,6 +744,10 @@ def encode_vp8l(pixels: np.ndarray, *, cache_bits: int = 0,
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[..., None].repeat(3, axis=2)
+    if px.ndim != 3 or px.shape[2] not in (1, 3, 4):
+        raise WebpError(f"unsupported array shape {px.shape}")
+    if px.shape[2] == 1:  # grayscale column (e.g. decoded 1-ch JPEG)
+        px = px.repeat(3, axis=2)
     h, w, c = px.shape
     if not (1 <= w <= 16384 and 1 <= h <= 16384):
         raise WebpError("geometry out of VP8L range")
@@ -952,6 +956,8 @@ def webp_frames(data: bytes) -> np.ndarray:
             safe = np.where(oa == 0.0, 1.0, oa)
             region[:, :, :3] = np.clip(rgb / safe + 0.5, 0, 255).astype(np.uint8)
             region[:, :, 3] = np.clip(oa[:, :, 0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        if (len(out) + 1) * cw * ch_ > MAX_DECODE_PIXELS:
+            raise WebpError("animation exceeds the decode pixel budget")
         out.append(canvas.copy())
         if flags & 0x01:  # dispose to background: transparent black
             canvas[fy : fy + fh, fx : fx + fw] = 0

@@ -326,15 +326,19 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
                 for decode, encode, err in anim_codecs:
                     try:
                         frames = decode(raw)
+                        h, w = frames.shape[1:3]
+                        scale = min(1.0, max_side / max(w, h, 1))
+                        nw = max(int(w * scale), 1)
+                        nh = max(int(h * scale), 1)
+                        # encode can also refuse (e.g. a legal GIF whose
+                        # frames UNION >256 colors) — fall through to
+                        # the stills/stub path, never fail the task
+                        payload = encode(np.stack(
+                            [png.resize_nearest(f, nw, nh) for f in frames]
+                        ))
+                        break
                     except err:
                         continue
-                    h, w = frames.shape[1:3]
-                    scale = min(1.0, max_side / max(w, h, 1))
-                    nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
-                    payload = encode(np.stack(
-                        [png.resize_nearest(f, nw, nh) for f in frames]
-                    ))
-                    break
                 if payload is None:
                     for decode, encode, err in codecs:
                         try:

@@ -60,8 +60,8 @@ def query(name: str, sql: str | None = None):
 
 
 # shared oracle snippets: the label-bucketed embedding near-pair join
-# (one copy — embedding_neardup / neardup_not_exact / docs_without_pairs
-# / dedup_components all quote it, so a threshold change can't fork them)
+# (one copy — embedding_neardup / docs_without_pairs / dedup_components
+# all quote it, so a threshold change can't fork them)
 _EMB_E_SQL = "SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings"
 _NEAR_PAIRS_SQL = """
       SELECT a.vec_id AS a, b.vec_id AS b
@@ -1213,7 +1213,8 @@ def q_embedding_neardup(spark, sf_dir):
 
 def _neardup_pairs_gemm(spark, sf_dir, threshold: float = 0.3) -> DataFrame:
     """Label-bucketed near-dup candidate pairs ``(a, b)``, a < b, shared
-    by embedding_neardup / neardup_not_exact / docs_without_pairs.
+    by embedding_neardup / docs_without_pairs (neardup_not_exact was
+    rotated off the board for train_quality_perceptron).
 
     Block-local GEMM: one numpy matmul per bucket — the 100TB ANN shape
     (an expression-level pair join pays interpreted lambda cost per
