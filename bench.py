@@ -116,6 +116,9 @@ def _run_suite(spark, names, qs) -> None:
                 per_query[name] = min(per_query.get(name, sec), sec)
             except Exception as e:  # one bad query must not kill the suite
                 failures[name] = f"{type(e).__name__}: {e}"[:200]
+                # a flaky pass-2 failure must not leave the query ALSO
+                # recorded as a timed success — failed means failed
+                per_query.pop(name, None)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

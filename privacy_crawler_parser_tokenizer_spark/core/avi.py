@@ -147,17 +147,20 @@ def avi_frames_meta(data: bytes) -> tuple[int, int, int]:
 
 
 def _frame_chunks(data: bytes, info: dict):
-    """Yield raw frame payloads of the selected video stream, in order."""
+    """Yield raw frame payloads of the selected video stream, in
+    DOCUMENT order — 'rec ' sub-lists recurse in place (a breadth-first
+    queue would replay a movi that mixes 'rec ' groups with bare frame
+    chunks out of temporal order)."""
     prefix = b"%02d" % info["stream_index"]
-    start, end = info["movi"]
-    stack = [(start, end)]
-    while stack:
-        s, e = stack.pop(0)
+
+    def walk(s, e):
         for fcc, body, size in _chunks(data, s, e):
             if fcc == b"LIST" and data[body : body + 4] == b"rec ":
-                stack.append((body + 4, body + size))
+                yield from walk(body + 4, body + size)
             elif fcc[:2] == prefix and fcc[2:4] in (b"dc", b"db"):
                 yield data[body : body + size]
+
+    yield from walk(*info["movi"])
 
 
 def _decode_dib(raw: bytes, width: int, height: int) -> np.ndarray:

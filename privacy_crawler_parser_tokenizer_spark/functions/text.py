@@ -287,17 +287,23 @@ def fingerprint_col(text: Column) -> Column:
 N_BANDS = 4
 
 
-def shingles_col(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingles as an array (empty when < k words).
-
-    Built by zipping k shifted slices of the word array — one transform
-    over pre-aligned struct fields.  (A sequence+element_at lambda is
-    ~16x slower at sf0.1: per-element computed-index lookups defeat
-    codegen.)"""
+def shingle_slots(text: Column, k: int) -> tuple[Column, Column]:
+    """The shared k-gram construction: (word count, zipped struct array
+    of k shifted word slices) — ONE definition of the shingle identity
+    consumed by both the string form (``shingles_col``) and the int64
+    hashed form (``operators.scrub.hashed_shingles_col``), so a
+    tokenization change can never fork them.  Built by zipping k
+    shifted slices — a sequence+element_at lambda is ~16x slower at
+    sf0.1: per-element computed-index lookups defeat codegen."""
     w = words_col(F.lower(text))
     n = F.size(w)
     m = n - F.lit(k - 1)
-    z = F.arrays_zip(*[F.slice(w, i + 1, m) for i in range(k)])
+    return n, F.arrays_zip(*[F.slice(w, i + 1, m) for i in range(k)])
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as an array (empty when < k words)."""
+    n, z = shingle_slots(text, k)
     mk = F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)]))
     return F.when(n < F.lit(k), F.array().cast("array<string>")).otherwise(mk)
 

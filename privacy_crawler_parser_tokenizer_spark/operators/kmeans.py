@@ -52,21 +52,6 @@ def _centroid_df(spark, cents: list[tuple[int, list[int]]]) -> DataFrame:
     )
 
 
-def assign_cells(vec_df: DataFrame, cent_df: DataFrame) -> DataFrame:
-    """Nearest-centroid id per vector: (keys..., cid).
-
-    ``vec_df`` needs columns ``vec_id`` (unique key) and ``q``
-    (array<bigint>); the centroid side broadcasts."""
-    spark = vec_df.sparkSession
-    scored = vec_df.join(F.broadcast(cent_df)).withColumn(
-        "_d", int_sqdist(F.col("q"), F.col("cemb"))
-    )
-    win = scored.groupBy("vec_id").agg(
-        F.min(F.struct("_d", "cid")).alias("_w")
-    )
-    return win.select("vec_id", F.col("_w.cid").alias("cid"))
-
-
 def lloyd_int(
     vec_df: DataFrame,
     k: int,

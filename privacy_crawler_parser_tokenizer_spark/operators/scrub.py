@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles_col, words_col
+from ..functions.text import shingle_slots, shingles_col
 
 # ---------------------------------------------------------------- PII ----
 
@@ -77,28 +77,16 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ------------------------------------------------------- decontamination ----
 
-def benchmark_ngrams(benchmark: DataFrame, text_col: str = "text",
-                     n: int = 13) -> DataFrame:
-    """Distinct word n-grams of an evaluation benchmark, as a one-column
-    frame (``ngram``) ready to broadcast into ``decontaminate``."""
-    return (
-        benchmark.select(
-            F.explode(shingles_col(F.col(text_col), k=n)).alias("ngram")
-        ).distinct()
-    )
-
-
 def hashed_shingles_col(text: Column, n: int = 13) -> Column:
     """Distinct word n-gram identities as int64 — xxhash64 straight
-    over the n zipped word slots, never materializing the concatenated
-    shingle string.  Collision identity matches the string form except
-    for 64-bit hash collisions (~2^-64/pair — negligible even at
-    100 TB shingle counts).  Sized for the broadcast side: an int64
-    set is ~10x smaller in the hash map than ~80-byte 13-gram strings."""
-    w = words_col(F.lower(text))
-    sz = F.size(w)
-    m = sz - F.lit(n - 1)
-    z = F.arrays_zip(*[F.slice(w, i + 1, m) for i in range(n)])
+    over the n zipped word slots (the SHARED ``shingle_slots``
+    construction, so the identity can never fork from the string
+    form), never materializing the concatenated shingle string.
+    Collision identity matches the string form except for 64-bit hash
+    collisions (~2^-64/pair — negligible even at 100 TB shingle
+    counts).  Sized for the broadcast side: an int64 set is ~10x
+    smaller in the hash map than ~80-byte 13-gram strings."""
+    sz, z = shingle_slots(text, n)
     mk = F.transform(z, lambda s: F.xxhash64(*[s[str(i)] for i in range(n)]))
     return F.array_distinct(
         F.when(sz < F.lit(n), F.array().cast("array<bigint>")).otherwise(mk)

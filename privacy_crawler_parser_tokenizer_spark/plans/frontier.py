@@ -141,14 +141,17 @@ class FixtureFetcher:
     Missing urls fetch as '' — the reference's request() returns '' on
     any error (src/utils/utils.py:111-181)."""
 
-    def __init__(self, pages: DataFrame, fetch_partitions: int | None = None):
+    def __init__(self, pages: DataFrame, fetch_partitions: int | None = None,
+                 host_concurrency: int | None = None):
         self.pages = pages.select(
             F.col("url").alias("_fetch_url"), F.col("html").alias("_fetch_html")
         )
         self.fetch_partitions = fetch_partitions
+        self.host_concurrency = host_concurrency
 
     def fetch(self, requests: DataFrame, round_id: int) -> DataFrame:
-        salted = _salt_by_host(requests, round_id, self.fetch_partitions)
+        salted = _salt_by_host(requests, round_id, self.fetch_partitions,
+                               self.host_concurrency)
         out = salted.join(
             self.pages, salted["url"] == self.pages["_fetch_url"], "left"
         )
@@ -164,9 +167,11 @@ class PythonFetcher:
     client this is where per-partition connection reuse + the (3,6)s
     timeouts of the reference live; tests inject a dict-backed fn."""
 
-    def __init__(self, fetch_fn, fetch_partitions: int | None = None):
+    def __init__(self, fetch_fn, fetch_partitions: int | None = None,
+                 host_concurrency: int | None = None):
         self.fetch_fn = fetch_fn
         self.fetch_partitions = fetch_partitions
+        self.host_concurrency = host_concurrency
 
     def fetch(self, requests: DataFrame, round_id: int) -> DataFrame:
         fn = self.fetch_fn
@@ -182,7 +187,8 @@ class PythonFetcher:
                 ]
                 yield pdf
 
-        salted = _salt_by_host(requests, round_id, self.fetch_partitions)
+        salted = _salt_by_host(requests, round_id, self.fetch_partitions,
+                               self.host_concurrency)
         return salted.mapInPandas(run, schema=out_schema)
 
     def fetch_process(self, requests: DataFrame, round_id: int,
@@ -212,12 +218,14 @@ class PythonFetcher:
                 ]
                 yield process_fn(pdf)
 
-        salted = _salt_by_host(requests, round_id, self.fetch_partitions)
+        salted = _salt_by_host(requests, round_id, self.fetch_partitions,
+                               self.host_concurrency)
         return salted.mapInPandas(run, schema=out_schema)
 
 
 def _salt_by_host(requests: DataFrame, round_id: int,
-                  n_partitions: int | None) -> DataFrame:
+                  n_partitions: int | None,
+                  host_concurrency: int | None = None) -> DataFrame:
     """Salted repartition by host-hash (north rule): spreads hot hosts
     across partitions while keeping the shuffle deterministic per
     round.  ``None`` keeps the session's default parallelism.
@@ -236,11 +244,20 @@ def _salt_by_host(requests: DataFrame, round_id: int,
         buckets (balls-in-bins collisions: 2x clumps); the raw hash
         keeps Spark's partitioner uniform — straggler ratio 1.05-1.07.
 
-    Per-URL spread does NOT bypass politeness: per-host fan-out per
-    round is bounded upstream by the ``host_budget`` priority window,
-    which is where politeness semantics live; partition placement is
-    purely load balance."""
-    key = F.hash(host_of_col(F.col("url")), F.lit(round_id), F.col("url"))
+    Politeness vs spread: with ``host_budget=k`` the per-round grant
+    count already bounds same-host fetch concurrency at k, so per-URL
+    spread cannot exceed it.  A budget-LESS crawl has no such bound —
+    per-URL spread would fetch one origin from every partition at
+    once; ``host_concurrency`` caps the spread there (each host's URLs
+    land in at most that many salt buckets, trading skew defusal for a
+    concurrency ceiling)."""
+    host = host_of_col(F.col("url"))
+    if host_concurrency:
+        bucket = F.pmod(F.hash(F.col("url"), F.lit(round_id)),
+                        F.lit(host_concurrency))
+        key = F.hash(host, F.lit(round_id), bucket)
+    else:
+        key = F.hash(host, F.lit(round_id), F.col("url"))
     if n_partitions:
         return requests.repartition(n_partitions, key)
     return requests.repartition(key)
@@ -380,6 +397,13 @@ class FrontierConfig:
     threshold: float = 0.6          # cosine acceptance (crawler.py:205)
     max_depth: int = 3              # page-expansion budget (crawler.py:196)
     host_budget: int | None = None  # politeness: fetches/host/round
+    # politeness for budget-less crawls: cap how many partitions one
+    # host's URLs may spread across in the fetch wave (bounds same-host
+    # fetch CONCURRENCY at ~this many workers).  With host_budget=k the
+    # per-round grant count already bounds concurrency at k, so this
+    # matters when host_budget is None (e.g. throughput benches against
+    # synthetic webs — leave None there for full skew defusal).
+    host_concurrency: int | None = None
     user_agent: str = "*"
     bloom_capacity: int = 1 << 20
     bloom_fpp: float = 0.01
@@ -446,6 +470,10 @@ class FrontierCrawler:
         # priority_fn — supply both for parity tests.
         self.priority_expr = priority_expr or (lambda url: F.lit(0))
         self.fetcher = fetcher or FixtureFetcher(pages, self.cfg.fetch_partitions)
+        # propagate the politeness concurrency cap to an injected
+        # fetcher unless the caller already set one explicitly
+        if getattr(self.fetcher, "host_concurrency", None) is None:
+            self.fetcher.host_concurrency = self.cfg.host_concurrency
         # robots gate: injected dict (parity mode, reference-compatible)
         # OR live per-host fetch through the HTTP client seam ([NEW]):
         # each round fetches robots.txt for hosts the warehouse `robots`
@@ -488,6 +516,7 @@ class FrontierCrawler:
         # one long-lived driver thread: overlaps the per-round stats job
         # with step-4/5 plan construction (the round's driver floor)
         self._driver_pool = ThreadPoolExecutor(max_workers=1)
+        self._pending_stats = None
 
     def _pin(self, df: DataFrame) -> DataFrame:
         """persist + plan-truncate: returns a DataFrame whose logical
@@ -631,10 +660,26 @@ class FrontierCrawler:
                 self._bloom_dirty = True
 
         rnd = last
-        for rnd in range(last + 1, self.cfg.max_rounds):
-            if not self._round(rnd):
-                rnd -= 1
-                break
+        try:
+            for rnd in range(last + 1, self.cfg.max_rounds):
+                if not self._round(rnd):
+                    rnd -= 1
+                    break
+        finally:
+            # a round that threw between submit and result must not
+            # abandon the overlapped stats job (its real error — often
+            # the fetch UDF's — would be swallowed forever); drain it,
+            # then join the worker thread so crawler instances don't
+            # leak one thread each for the process lifetime.
+            fut = self._pending_stats
+            if fut is not None and not fut.cancel():
+                try:
+                    fut.result(timeout=600)
+                except Exception:
+                    pass  # the round's own exception stays primary
+            self._pending_stats = None
+            self._driver_pool.shutdown(wait=True)
+            self._driver_pool = ThreadPoolExecutor(max_workers=1)
         return FrontierRun(self.wh, rnd + 1, self.cfg)
 
     def _round(self, rnd: int) -> bool:
@@ -748,6 +793,7 @@ class FrontierCrawler:
                 F.coalesce(F.sum(F.size("hrefs")), F.lit(0)).alias("n_cand"),
             ).collect()[0]
         )
+        self._pending_stats = _stats_fut  # drained by run() on error
         _t_fetch = _time.monotonic()
 
         # 4. candidate admission: Bloom pre-filter + exact anti path -------
@@ -859,6 +905,7 @@ class FrontierCrawler:
         # n_cand write gate just below and the broadcast decision in
         # step 7 (same values, same plans as the former eager collect)
         _stats = _stats_fut.result()
+        self._pending_stats = None
         n_granted, n_cand = int(_stats["n"]), int(_stats["n_cand"])
         _t_stats = _time.monotonic()
 

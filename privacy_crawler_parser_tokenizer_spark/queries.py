@@ -142,17 +142,20 @@ def q_exact_dedup(spark, sf_dir):
     collapses a viral duplicate (the same boilerplate in 10^6 rows)
     before the exchange, and AQE can split the skewed join back where
     a row_number window over PARTITION BY text funnels the whole group
-    into one unsplittable sort partition.  NULL text is coalesced to a
-    sentinel before hashing so such rows still group (an inner join on
-    a NULL hash would silently drop them, diverging from the oracle's
-    window which keeps NULL-text rows as one partition)."""
+    into one unsplittable sort partition.  NULL text groups via an
+    explicit (is-null, hash-of-coalesced) compound key — an inner join
+    on a NULL hash would silently drop such rows, and a string
+    SENTINEL would collide with a document whose text literally equals
+    the sentinel, diverging from the oracle's PARTITION BY text (which
+    keeps NULLs as their own partition, distinct from every string)."""
     docs = _t(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id",
-        F.sha2(F.coalesce("text", F.lit("\0null")), 256).alias("_h"),
+        F.col("text").isNull().alias("_null"),
+        F.sha2(F.coalesce("text", F.lit("")), 256).alias("_h"),
     )
-    winners = keyed.groupBy("_h").agg(F.min("doc_id").alias("_win"))
-    return keyed.join(winners, "_h").select(
+    winners = keyed.groupBy("_null", "_h").agg(F.min("doc_id").alias("_win"))
+    return keyed.join(winners, ["_null", "_h"]).select(
         "doc_id", (F.col("doc_id") != F.col("_win")).alias("dup")
     )
 
@@ -1542,13 +1545,13 @@ def q_pq_topk(spark, sf_dir):  # noqa: C901
     full-vector scan per pair."""
     import numpy as np
 
+    from .operators.kmeans import quantize_milli as _qm
+
     M, SD, K = 4, 16, 16
+    # the ONE engine-exactness-critical quantization definition —
+    # shared with ivf_topk/lloyd so the formulas can never fork
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.floor(x * 1000 + 0.5),
-        ).alias("q"),
+        "vec_id", _qm(F.col("embedding")).alias("q")
     )
     first = {
         r.vec_id: np.array(r.q, dtype=np.int64)

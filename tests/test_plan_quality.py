@@ -357,3 +357,34 @@ def test_lm_bigram_score_plan_shape(spark):
     bnlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", p))
     assert len(bnlj) <= 1, p
     assert "CartesianProduct" not in p, p
+
+
+def test_salt_host_concurrency_caps_spread(spark):
+    # budget-less politeness: with host_concurrency=2, one host's URLs
+    # may occupy at most 2 partitions of the fetch wave; without it,
+    # per-URL salt spreads them wave-wide (the skew-defusal mode)
+    from pyspark.sql import functions as F
+
+    from privacy_crawler_parser_tokenizer_spark.plans.frontier import (
+        _salt_by_host,
+    )
+
+    reqs = spark.createDataFrame(
+        [(f"http://hot.example/p{i}",) for i in range(64)]
+        + [(f"http://cold{i}.example/",) for i in range(16)],
+        "url string",
+    )
+    capped = _salt_by_host(reqs, 3, 16, host_concurrency=2)
+    spread = (
+        capped.withColumn("p", F.spark_partition_id())
+        .where(F.col("url").startswith("http://hot."))
+        .select("p").distinct().count()
+    )
+    assert spread <= 2, spread
+    free = _salt_by_host(reqs, 3, 16, host_concurrency=None)
+    spread_free = (
+        free.withColumn("p", F.spark_partition_id())
+        .where(F.col("url").startswith("http://hot."))
+        .select("p").distinct().count()
+    )
+    assert spread_free > 2, spread_free
