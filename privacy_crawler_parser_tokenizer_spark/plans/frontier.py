@@ -129,6 +129,22 @@ def _metrics_arrow():
 _METRICS_ARROW = _metrics_arrow()
 
 
+def _lineage_arrow():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("round", pa.int32()),
+            pa.field("stage", pa.string()),
+            pa.field("partition_id", pa.int32()),
+            pa.field("n_rows", pa.int64()),
+        ]
+    )
+
+
+_LINEAGE_ARROW = _lineage_arrow()
+
+
 
 # ---------------------------------------------------------------------------
 # fetchers
@@ -780,18 +796,26 @@ class FrontierCrawler:
             "expanding",
             (F.col("contents") != "") & (is_landing | depth_ok),
         ))
-        # materialize (fetch/UDF run exactly once) + round stats in one
-        # job — submitted on a background thread so the JVM executes the
-        # fetch while the driver keeps building step-4/5 plans.  The
-        # lazy-localCheckpoint compiles (toRdd at creation) are the
-        # dominant per-round driver fixed cost at small rounds; hiding
-        # the stats job behind them shrinks the round floor.  Nothing
-        # before the `pending` assembly reads the counts.
+        # materialize (fetch/UDF run exactly once) + round stats + the
+        # per-partition fetch lineage in ONE job — submitted on a
+        # background thread so the JVM executes the fetch while the
+        # driver keeps building step-4/5 plans.  The lazy-localCheckpoint
+        # compiles (toRdd at creation) are the dominant per-round driver
+        # fixed cost at small rounds; hiding the stats job behind them
+        # shrinks the round floor.  Grouping by partition id (vs the
+        # former global agg) makes the same job yield the lineage rows
+        # (round, fetch, partition_id, n_rows) for free — the result is
+        # <= one row per partition, so the lineage table becomes a
+        # driver-local pyarrow write like metrics and its former
+        # per-round Spark write job disappears.  Nothing before the
+        # `pending` assembly reads the counts.
         _stats_fut = self._driver_pool.submit(
-            lambda: processed.agg(
+            lambda: processed.groupBy(
+                F.spark_partition_id().alias("partition_id")
+            ).agg(
                 F.count("*").alias("n"),
                 F.coalesce(F.sum(F.size("hrefs")), F.lit(0)).alias("n_cand"),
-            ).collect()[0]
+            ).collect()
         )
         self._pending_stats = _stats_fut  # drained by run() on error
         _t_fetch = _time.monotonic()
@@ -906,7 +930,17 @@ class FrontierCrawler:
         # step 7 (same values, same plans as the former eager collect)
         _stats = _stats_fut.result()
         self._pending_stats = None
-        n_granted, n_cand = int(_stats["n"]), int(_stats["n_cand"])
+        n_granted = sum(int(r["n"]) for r in _stats)
+        n_cand = sum(int(r["n_cand"]) for r in _stats)
+        # per-partition lineage of the fetch stage (skew observability at
+        # scale) rode the stats job; one driver-local pyarrow file, no
+        # Spark job.  Empty rounds write an empty snapshot, same as the
+        # former empty Spark write.
+        wh.write_rows(
+            [(rnd, "fetch", int(r["partition_id"]), int(r["n"]))
+             for r in _stats],
+            _LINEAGE_ARROW, "lineage", rnd,
+        )
         _t_stats = _time.monotonic()
 
         pending: list[tuple[str, DataFrame]] = []
@@ -1127,20 +1161,6 @@ class FrontierCrawler:
              ))
         )
 
-        # per-partition lineage: how the salted fetch stage actually
-        # spread work this round (skew observability at scale)
-        lineage = (
-            processed.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("n_rows"))
-            .select(
-                F.lit(rnd).cast("int").alias("round"),
-                F.lit("fetch").alias("stage"),
-                F.col("partition_id"),
-                F.col("n_rows").cast("long"),
-            )
-        )
-        pending.append(("lineage", lineage))
-
         # 8. one concurrent write wave: every delta snapshot job runs in
         # parallel (independent tables, shared cached parents — block
         # locks make concurrent first-materialization safe), together
@@ -1155,13 +1175,22 @@ class FrontierCrawler:
             wh.write(df_.coalesce(k) if k else df_, table, rnd)
             wave_secs[table] = round(_time.monotonic() - _w0, 3)
 
-        # fill the visits cache at full parallelism BEFORE its dependent
-        # writes run (a coalesced write reading a cold cache would fill
-        # it at the coalesced parallelism); links/seen writes only need
-        # the cand3/links caches, so they overlap with it
+        # When writes are coalesced (k set): fill the visits cache at
+        # full parallelism BEFORE its dependent writes run (a coalesced
+        # write reading a cold cache would fill it at the coalesced
+        # parallelism); links/seen writes only need the cand3/links
+        # caches, so they overlap with it.  When k is None (production
+        # rounds — AQE sizes the files) no write narrows the cache-fill
+        # parallelism, so the fill job and the early->late barrier are
+        # pure per-round fixed cost: submit the whole wave at once and
+        # let block locks serialize concurrent first-materialization of
+        # the shared cached parents.
         visits_tables = {"policy_seen", "crawl_log", "documents", "domain_state"}
-        early = [(t, d) for t, d in pending if t not in visits_tables]
-        late = [(t, d) for t, d in pending if t in visits_tables]
+        if k:
+            early = [(t, d) for t, d in pending if t not in visits_tables]
+            late = [(t, d) for t, d in pending if t in visits_tables]
+        else:
+            early, late = list(pending), []
         with ThreadPoolExecutor(max_workers=min(10, len(pending) + 2)) as pool:
             futs = [pool.submit(_write, df_, table) for table, df_ in early]
             delta_fut = None
@@ -1172,11 +1201,12 @@ class FrontierCrawler:
                     "href",
                     self._filter_factory(),
                 )
-            _f0 = _time.monotonic()
-            fill = pool.submit(visits.count)
-            fill.result()
-            wave_secs["_fill"] = round(_time.monotonic() - _f0, 3)
-            futs += [pool.submit(_write, df_, table) for table, df_ in late]
+            if late:
+                _f0 = _time.monotonic()
+                fill = pool.submit(visits.count)
+                fill.result()
+                wave_secs["_fill"] = round(_time.monotonic() - _f0, 3)
+                futs += [pool.submit(_write, df_, table) for table, df_ in late]
             for f in futs:
                 f.result()
             if delta_fut is not None:
