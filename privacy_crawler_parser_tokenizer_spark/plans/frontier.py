@@ -111,38 +111,24 @@ _METRICS_SCHEMA = (
 )
 _LINEAGE_SCHEMA = "round int, stage string, partition_id int, n_rows bigint"
 
-def _metrics_arrow():
+def _arrow_of_ddl(ddl: str):
+    """Derive the pyarrow write schema from the Spark DDL read schema, so
+    the two cannot drift: a column added/renamed/retyped in the DDL flows
+    to the driver-local parquet writes automatically, and an unsupported
+    type fails loudly here instead of as all-null reads later."""
     import pyarrow as pa
 
-    return pa.schema(
-        [
-            pa.field("round", pa.int32()),
-            pa.field("granted", pa.int64()),
-            pa.field("fetched", pa.int64()),
-            pa.field("new_links", pa.int64()),
-            pa.field("policies", pa.int64()),
-            pa.field("active_domains", pa.int64()),
-        ]
-    )
+    types = {"int": pa.int32(), "bigint": pa.int64(), "string": pa.string(),
+             "double": pa.float64(), "boolean": pa.bool_()}
+    fields = []
+    for col in ddl.split(","):
+        name, typ = col.split()
+        fields.append(pa.field(name, types[typ]))
+    return pa.schema(fields)
 
 
-_METRICS_ARROW = _metrics_arrow()
-
-
-def _lineage_arrow():
-    import pyarrow as pa
-
-    return pa.schema(
-        [
-            pa.field("round", pa.int32()),
-            pa.field("stage", pa.string()),
-            pa.field("partition_id", pa.int32()),
-            pa.field("n_rows", pa.int64()),
-        ]
-    )
-
-
-_LINEAGE_ARROW = _lineage_arrow()
+_METRICS_ARROW = _arrow_of_ddl(_METRICS_SCHEMA)
+_LINEAGE_ARROW = _arrow_of_ddl(_LINEAGE_SCHEMA)
 
 
 
