@@ -48,7 +48,7 @@ HEADLINE = [
     "training_keep_list",
     "sentence_pipeline",
     "pricing_summary",
-    "top_customers",
+    "exact_substring_dedup",
     "lang_rollup",
     "sessionize",
     "events_neighbor_context",

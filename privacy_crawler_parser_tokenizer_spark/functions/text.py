@@ -287,6 +287,17 @@ def fingerprint_col(text: Column) -> Column:
 N_BANDS = 4
 
 
+def shingle_slots_of_words(w: Column, k: int) -> tuple[Column, Column]:
+    """``shingle_slots`` over an already-tokenized word array — for
+    callers that materialize the words as a projected attribute BELOW a
+    Generate (the english_gate lesson: an inline text expression in the
+    generator re-evaluates the split per slice reference; an attribute
+    is computed once per doc)."""
+    n = F.size(w)
+    m = n - F.lit(k - 1)
+    return n, F.arrays_zip(*[F.slice(w, i + 1, m) for i in range(k)])
+
+
 def shingle_slots(text: Column, k: int) -> tuple[Column, Column]:
     """The shared k-gram construction: (word count, zipped struct array
     of k shifted word slices) — ONE definition of the shingle identity
@@ -295,10 +306,7 @@ def shingle_slots(text: Column, k: int) -> tuple[Column, Column]:
     tokenization change can never fork them.  Built by zipping k
     shifted slices — a sequence+element_at lambda is ~16x slower at
     sf0.1: per-element computed-index lookups defeat codegen."""
-    w = words_col(F.lower(text))
-    n = F.size(w)
-    m = n - F.lit(k - 1)
-    return n, F.arrays_zip(*[F.slice(w, i + 1, m) for i in range(k)])
+    return shingle_slots_of_words(words_col(F.lower(text)), k)
 
 
 def shingles_col(text: Column, k: int = 3) -> Column:

@@ -35,6 +35,7 @@ from .functions.text import (
     punct_ratio_col,
     quality_score_col,
     rule_hits_col,
+    shingle_slots_of_words,
     shingles_col,
     stopword_ratio_col,
     word_count_col,
@@ -2024,27 +2025,128 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
-@query(
-    "top_customers",
+_ESUB_K = 15  # duplicated-run window, in words (Lee et al. use 50 BPE
+# tokens on web-scale corpora; 15 words ~ the same share of this
+# testdata's ~54-word documents)
+
+
+def _esub_sql() -> str:
+    k = _ESUB_K
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS words
+      FROM documents),
+    g AS (
+      SELECT doc_id, words, unnest(range(1, len(words) - {k - 2})) AS i
+      FROM t WHERE len(words) >= {k}),
+    g2 AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(words[i:i+{k - 1}], ' ') AS gram
+      FROM g),
+    r AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      FROM g2),
+    d AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+    m AS (
+      SELECT doc_id, pos,
+             max(pos + {k - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM d),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN pmax IS NULL OR pos > pmax + 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM m),
+    sp AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos + {k - 1}) AS e
+      FROM isl GROUP BY 1, 2),
+    pd AS (
+      SELECT doc_id, SUM(e - s + 1) AS dup_tokens, COUNT(*) AS n_spans
+      FROM sp GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(len(t.words) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans
+    FROM t LEFT JOIN pd USING (doc_id)
     """
-    SELECT c.c_custkey, c.c_name,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total_spend
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_custkey, c.c_name
-    ORDER BY total_spend DESC, c.c_custkey
-    LIMIT 10
-    """,
-)
-def q_top_customers(spark, sf_dir):
-    """Broadcast join + agg + deterministic top-k."""
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(20,2)")).cast("double").alias("total_spend"))
-        .orderBy(F.desc("total_spend"), "c_custkey")
-        .limit(10)
+
+
+@query("exact_substring_dedup", _esub_sql())
+def q_exact_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup report (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): any word run of
+    length >= K that also occurs earlier in the corpus — earlier
+    (doc_id, pos), first occurrence wins — is a duplicated span; per
+    doc, overlapping/adjacent duplicated windows merge into maximal
+    spans (the tokens an ExactSubstr pass would cut).  Output per doc:
+    total tokens, duplicated tokens, merged span count — all exact
+    int64, hash-checked against the window/gaps-and-islands oracle.
+
+    Spark-first shape for 100 TB: k-gram identities are int64
+    xxhash64 over the SHARED ``shingle_slots`` zipped word slots (the
+    decontaminate identity — never materializes gram strings; ~10x
+    less shuffle than ~100-byte grams; 2^-64/pair collision odds
+    noted), the global first-occurrence winner is ONE
+    partial-aggregable groupBy (min(struct(doc_id, pos)) — map-side
+    combine collapses viral boilerplate runs before the exchange, and
+    the probe join reuses the aggregation's hash partitioning), and
+    the span merge is a per-doc window (bounded by document length,
+    never corpus-wide).  No suffix array: sorted-suffix adjacency
+    needs a global order; the k-gram winner join finds the same
+    >=K-word duplicated runs with shuffle-local machinery."""
+    k = _ESUB_K
+    docs = _t(spark, sf_dir, "documents")
+    # words materialized as an attribute BELOW the Generate (the
+    # english_gate lesson): the generator's k slice references then
+    # read a computed column instead of re-running the split per slice
+    toks = docs.select("doc_id", words_col(F.lower(F.col("text"))).alias("_ws"))
+    n, z = shingle_slots_of_words(F.col("_ws"), k)
+    base = toks.select("doc_id", n.cast("long").alias("n_tokens"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.when(n < k, F.array().cast("array<bigint>")).otherwise(
+                F.transform(z, lambda s: F.xxhash64(*[s[str(i)] for i in range(k)]))
+            )
+        ).alias("pos", "g"),
+    )
+    winners = grams.groupBy("g").agg(F.min(F.struct("doc_id", "pos")).alias("_w"))
+    dups = (
+        grams.join(winners, "g")
+        .filter(
+            (F.col("doc_id") != F.col("_w.doc_id")) | (F.col("pos") != F.col("_w.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    ord_w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = ord_w.rowsBetween(Window.unboundedPreceding, -1)
+    cum = ord_w.rowsBetween(Window.unboundedPreceding, 0)
+    isl = (
+        dups.withColumn("_pmax", F.max(F.col("pos") + F.lit(k - 1)).over(prev))
+        .withColumn(
+            "_isl",
+            F.sum(
+                F.when(
+                    F.col("_pmax").isNull() | (F.col("pos") > F.col("_pmax") + 1), 1
+                ).otherwise(0)
+            ).over(cum),
+        )
+    )
+    spans = isl.groupBy("doc_id", "_isl").agg(
+        F.min("pos").alias("_s"), F.max(F.col("pos") + F.lit(k - 1)).alias("_e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("_e") - F.col("_s") + 1).cast("long").alias("dup_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
     )
 
 

@@ -36,7 +36,6 @@ def test_column_pruning(spark):
 
 
 def test_small_dims_broadcast(spark):
-    assert has_broadcast_join(plan(spark, "top_customers"))
     # the benchmark n-gram side of decontamination is an eval set, not
     # a corpus — it must broadcast, never shuffle the document grams
     assert has_broadcast_join(plan(spark, "decontaminate"))
