@@ -35,7 +35,6 @@ from .functions.text import (
     punct_ratio_col,
     quality_score_col,
     rule_hits_col,
-    shingle_slots_of_words,
     shingles_col,
     stopword_ratio_col,
     word_count_col,
@@ -2096,57 +2095,16 @@ def q_exact_substring_dedup(spark, sf_dir):
     the span merge is a per-doc window (bounded by document length,
     never corpus-wide).  No suffix array: sorted-suffix adjacency
     needs a global order; the k-gram winner join finds the same
-    >=K-word duplicated runs with shuffle-local machinery."""
-    k = _ESUB_K
+    >=K-word duplicated runs with shuffle-local machinery.
+
+    The pipeline lives in operators/scrub.py (exact_substring_spans;
+    the cutting transform exact_substring_cut shares it) — this entry
+    oracle-checks its scalar report columns."""
+    from .operators.scrub import exact_substring_spans
+
     docs = _t(spark, sf_dir, "documents")
-    # words materialized as an attribute BELOW the Generate (the
-    # english_gate lesson): the generator's k slice references then
-    # read a computed column instead of re-running the split per slice
-    toks = docs.select("doc_id", words_col(F.lower(F.col("text"))).alias("_ws"))
-    n, z = shingle_slots_of_words(F.col("_ws"), k)
-    base = toks.select("doc_id", n.cast("long").alias("n_tokens"))
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.when(n < k, F.array().cast("array<bigint>")).otherwise(
-                F.transform(z, lambda s: F.xxhash64(*[s[str(i)] for i in range(k)]))
-            )
-        ).alias("pos", "g"),
-    )
-    winners = grams.groupBy("g").agg(F.min(F.struct("doc_id", "pos")).alias("_w"))
-    dups = (
-        grams.join(winners, "g")
-        .filter(
-            (F.col("doc_id") != F.col("_w.doc_id")) | (F.col("pos") != F.col("_w.pos"))
-        )
-        .select("doc_id", "pos")
-    )
-    ord_w = Window.partitionBy("doc_id").orderBy("pos")
-    prev = ord_w.rowsBetween(Window.unboundedPreceding, -1)
-    cum = ord_w.rowsBetween(Window.unboundedPreceding, 0)
-    isl = (
-        dups.withColumn("_pmax", F.max(F.col("pos") + F.lit(k - 1)).over(prev))
-        .withColumn(
-            "_isl",
-            F.sum(
-                F.when(
-                    F.col("_pmax").isNull() | (F.col("pos") > F.col("_pmax") + 1), 1
-                ).otherwise(0)
-            ).over(cum),
-        )
-    )
-    spans = isl.groupBy("doc_id", "_isl").agg(
-        F.min("pos").alias("_s"), F.max(F.col("pos") + F.lit(k - 1)).alias("_e")
-    )
-    per_doc = spans.groupBy("doc_id").agg(
-        F.sum(F.col("_e") - F.col("_s") + 1).cast("long").alias("dup_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
-    )
-    return base.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
-        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+    return exact_substring_spans(docs, k=_ESUB_K).select(
+        "doc_id", "n_tokens", "dup_tokens", "n_spans"
     )
 
 

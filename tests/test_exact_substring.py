@@ -112,6 +112,42 @@ def test_oracle_matches_reference_on_edges(corpus):
     assert got == expected(corpus)
 
 
+def cut_reference(corpus, k: int = K) -> dict[int, str]:
+    ref_toks = {d: (t.strip().lower().split() if t.strip() else []) for d, t in corpus}
+    grams = []
+    for d in sorted(ref_toks):
+        ws = ref_toks[d]
+        for i in range(len(ws) - k + 1):
+            grams.append((d, i, tuple(ws[i : i + k])))
+    winners: dict[tuple, tuple[int, int]] = {}
+    for d, i, g in grams:
+        if g not in winners or (d, i) < winners[g]:
+            winners[g] = (d, i)
+    covered: dict[int, set[int]] = {}
+    for d, i, g in grams:
+        if winners[g] != (d, i):
+            covered.setdefault(d, set()).update(range(i, i + k))
+    return {
+        d: " ".join(w for i, w in enumerate(ws) if i not in covered.get(d, set()))
+        for d, ws in ref_toks.items()
+    }
+
+
+def test_cut_transform_matches_reference(spark, corpus):
+    from privacy_crawler_parser_tokenizer_spark.operators.scrub import (
+        exact_substring_cut,
+    )
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r.doc_id: r.clean_text for r in exact_substring_cut(df).collect()}
+    assert out == cut_reference(corpus)
+    # the copy doc loses everything; the untouched docs keep all words
+    assert out[6] == ""
+    assert out[1] == " ".join(f"w{i}" for i in range(30))
+    assert out[4] == " ".join(f"w{i}" for i in range(400, 410))
+    assert out[5] == ""
+
+
 def test_plan_quality(spark, corpus):
     import os
     import tempfile
