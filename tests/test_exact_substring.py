@@ -148,6 +148,46 @@ def test_cut_transform_matches_reference(spark, corpus):
     assert out[5] == ""
 
 
+def test_randomized_corpus_parity(spark):
+    """Seeded random corpus with planted shared runs: report AND cut
+    must match the independent reference on every doc."""
+    import random
+
+    rng = random.Random(421)
+    vocab = [f"v{i}" for i in range(40)]  # small vocab -> natural collisions
+    shared = [f"s{i}" for i in range(K + 5)]  # a >K-word run to plant
+    corpus = []
+    for d in range(1, 31):
+        n = rng.randint(0, 60)
+        ws = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.4 and n > 4:  # plant the shared run mid-doc
+            at = rng.randint(0, n - 1)
+            ws[at:at] = shared
+        corpus.append((d, " ".join(ws)))
+    ref = esub_reference(corpus)
+    cut_ref = cut_reference(corpus)
+
+    import os
+    import tempfile
+
+    from privacy_crawler_parser_tokenizer_spark.operators.scrub import (
+        exact_substring_cut,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r.doc_id: (r.n_tokens, r.dup_tokens, r.n_spans)
+            for r in q_exact_substring_dedup(spark, td).collect()
+        }
+        got_cut = {r.doc_id: r.clean_text for r in exact_substring_cut(df).collect()}
+    assert got == ref
+    assert got_cut == cut_ref
+    # the plant must actually have fired for the test to mean anything
+    assert sum(1 for v in ref.values() if v[1] > 0) >= 2
+
+
 def test_plan_quality(spark, corpus):
     import os
     import tempfile
