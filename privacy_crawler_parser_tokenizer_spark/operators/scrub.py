@@ -82,6 +82,15 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ------------------------------------------------------- decontamination ----
 
+def _hashed_gram_array(n: Column, z: Column, k: int) -> Column:
+    """ONE hashed k-gram identity — xxhash64 over the k zipped word
+    slots, empty array below k words — shared by decontamination and
+    exact-substring dedup so the int64 identity can never fork between
+    them (the same reason ``shingle_slots`` is shared)."""
+    mk = F.transform(z, lambda s: F.xxhash64(*[s[str(i)] for i in range(k)]))
+    return F.when(n < F.lit(k), F.array().cast("array<bigint>")).otherwise(mk)
+
+
 def hashed_shingles_col(text: Column, n: int = 13) -> Column:
     """Distinct word n-gram identities as int64 — xxhash64 straight
     over the n zipped word slots (the SHARED ``shingle_slots``
@@ -92,10 +101,7 @@ def hashed_shingles_col(text: Column, n: int = 13) -> Column:
     counts).  Sized for the broadcast side: an int64 set is ~10x
     smaller in the hash map than ~80-byte 13-gram strings."""
     sz, z = shingle_slots(text, n)
-    mk = F.transform(z, lambda s: F.xxhash64(*[s[str(i)] for i in range(n)]))
-    return F.array_distinct(
-        F.when(sz < F.lit(n), F.array().cast("array<bigint>")).otherwise(mk)
-    )
+    return F.array_distinct(_hashed_gram_array(sz, z, n))
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
@@ -149,7 +155,7 @@ def _esub_toks(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _esub_report(toks: DataFrame, k: int) -> DataFrame:
+def _esub_report(toks: DataFrame, k: int, *, with_words: bool = False) -> DataFrame:
     """Per-doc duplicated-span report (_id, n_tokens, dup_tokens,
     n_spans, spans) for the exact-substring dedup family (Lee et al.
     2022): a k-word run whose gram also occurs at an earlier global
@@ -169,12 +175,7 @@ def _esub_report(toks: DataFrame, k: int) -> DataFrame:
 
     n, z = shingle_slots_of_words(F.col("_ws"), k)
     grams = toks.select(
-        "_id",
-        F.posexplode(
-            F.when(n < k, F.array().cast("array<bigint>")).otherwise(
-                F.transform(z, lambda s: F.xxhash64(*[s[str(i)] for i in range(k)]))
-            )
-        ).alias("pos", "g"),
+        "_id", F.posexplode(_hashed_gram_array(n, z, k)).alias("pos", "g")
     )
     winners = grams.groupBy("g").agg(
         F.min(F.struct("_id", "pos")).alias("_w"),
@@ -210,9 +211,14 @@ def _esub_report(toks: DataFrame, k: int) -> DataFrame:
             F.collect_list(F.struct(F.col("_s").alias("s"), F.col("_e").alias("e")))
         ).alias("spans"),
     )
-    base = toks.select("_id", F.size("_ws").cast("long").alias("n_tokens"))
+    base = toks.select(
+        "_id",
+        *(["_ws"] if with_words else []),
+        F.size("_ws").cast("long").alias("n_tokens"),
+    )
     return base.join(per_doc, "_id", "left").select(
         "_id",
+        *(["_ws"] if with_words else []),
         "n_tokens",
         F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
         F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
@@ -238,21 +244,24 @@ def exact_substring_cut(docs: DataFrame, *, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 15) -> DataFrame:
     """Exact-substring dedup TRANSFORM: the cutting pass — tokens
     inside duplicated spans are removed, survivors rejoin with single
-    spaces.  Output (id, clean_text, n_tokens, dup_tokens).  Text is
-    case/whitespace-normalized exactly like the gram identity
+    spaces.  Output (id, clean_text, n_tokens, dup_tokens, n_spans).
+    Text is case/whitespace-normalized exactly like the gram identity
     (lowercase, whitespace-split), so a cut span can never straddle a
-    token the report counted differently."""
-    toks = _esub_toks(docs, text_col, id_col)
-    rep = _esub_report(toks, k)
+    token the report counted differently.  NULL text stays NULL
+    (never conflated with a fully-deduplicated doc's '').  The words
+    ride the report's own base frame (``with_words``), so the cut
+    costs no scan beyond the report's two."""
+    rep = _esub_report(_esub_toks(docs, text_col, id_col), k, with_words=True)
     kept = F.filter(
         F.col("_ws"),
         lambda w, i: ~F.exists(
             F.col("spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
         ),
     )
-    return toks.join(rep, "_id").select(
+    return rep.select(
         F.col("_id").alias(id_col),
-        F.concat_ws(" ", kept).alias("clean_text"),
+        F.when(F.col("_ws").isNotNull(), F.concat_ws(" ", kept)).alias("clean_text"),
         "n_tokens",
         "dup_tokens",
+        "n_spans",
     )

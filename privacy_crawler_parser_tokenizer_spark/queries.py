@@ -2064,12 +2064,25 @@ def _esub_sql() -> str:
       FROM isl GROUP BY 1, 2),
     pd AS (
       SELECT doc_id, SUM(e - s + 1) AS dup_tokens, COUNT(*) AS n_spans
-      FROM sp GROUP BY 1)
+      FROM sp GROUP BY 1),
+    tok AS (
+      SELECT doc_id, unnest(words) AS w, generate_subscripts(words, 1) - 1 AS i
+      FROM t),
+    kept AS (
+      SELECT tk.doc_id, tk.w, tk.i
+      FROM tok tk LEFT JOIN sp ON tk.doc_id = sp.doc_id
+                              AND tk.i BETWEEN sp.s AND sp.e
+      WHERE sp.doc_id IS NULL),
+    cut AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text
+      FROM kept GROUP BY doc_id)
     SELECT t.doc_id,
            CAST(len(t.words) AS BIGINT) AS n_tokens,
            CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-           CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans
-    FROM t LEFT JOIN pd USING (doc_id)
+           CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+           CASE WHEN t.words IS NULL THEN NULL
+                ELSE COALESCE(cut.clean_text, '') END AS clean_text
+    FROM t LEFT JOIN pd USING (doc_id) LEFT JOIN cut USING (doc_id)
     """
 
 
@@ -2097,14 +2110,17 @@ def q_exact_substring_dedup(spark, sf_dir):
     needs a global order; the k-gram winner join finds the same
     >=K-word duplicated runs with shuffle-local machinery.
 
-    The pipeline lives in operators/scrub.py (exact_substring_spans;
-    the cutting transform exact_substring_cut shares it) — this entry
-    oracle-checks its scalar report columns."""
-    from .operators.scrub import exact_substring_spans
+    The pipeline lives in operators/scrub.py — this entry runs the
+    full CUT transform (exact_substring_cut), so both the report
+    scalars and the cleaned text are oracle-gated (the cut rejoins
+    survivors with single spaces on lowercased tokens, NULL text stays
+    NULL; the oracle rebuilds it with an exploded anti-join +
+    position-ordered string_agg)."""
+    from .operators.scrub import exact_substring_cut
 
     docs = _t(spark, sf_dir, "documents")
-    return exact_substring_spans(docs, k=_ESUB_K).select(
-        "doc_id", "n_tokens", "dup_tokens", "n_spans"
+    return exact_substring_cut(docs, k=_ESUB_K).select(
+        "doc_id", "n_tokens", "dup_tokens", "n_spans", "clean_text"
     )
 
 

@@ -110,6 +110,25 @@ def test_oracle_matches_reference_on_edges(corpus):
     rows = con.execute(_esub_sql()).fetchall()
     got = {r[0]: (r[1], r[2], r[3]) for r in rows}
     assert got == expected(corpus)
+    assert {r[0]: r[4] for r in rows} == cut_reference(corpus)
+
+
+def test_null_text_stays_null(spark):
+    """NULL text must never be conflated with a fully-deduplicated
+    doc's '' — both engines emit NULL n_tokens and NULL clean_text."""
+    from privacy_crawler_parser_tokenizer_spark.operators.scrub import (
+        exact_substring_cut,
+    )
+
+    rows = [(1, None), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.clean_text) for r in exact_substring_cut(df).collect()}
+    assert got == {1: (None, None), 2: (0, "")}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    orc = {r[0]: (r[1], r[4]) for r in con.execute(_esub_sql()).fetchall()}
+    assert orc == {1: (None, None), 2: (0, "")}
 
 
 def cut_reference(corpus, k: int = K) -> dict[int, str]:
@@ -198,7 +217,19 @@ def test_plan_quality(spark, corpus):
         )
         plan = formatted_plan(q_exact_substring_dedup(spark, td))
     # winner groupBy must combine map-side (viral boilerplate collapses
-    # before the exchange)
+    # before the exchange) — scoped to the aggregation keyed on the
+    # gram hash: the plan has three groupBys, so the global >=2
+    # aggregate-line check would stay green even if THIS one lost its
+    # partial/final split
+    import re
+
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    winner_partials = [
+        b
+        for b in blocks
+        if re.search(r"Keys \[1\]: \[g#", b) and "partial_min" in b
+    ]
+    assert winner_partials, plan
     assert has_partial_aggregation(plan)
     # the posexplode must read the projected words attribute, never the
     # raw text (english_gate's per-exploded-row recompute trap)
