@@ -47,7 +47,7 @@ HEADLINE = [
     "decontaminate",
     "training_keep_list",
     "sentence_pipeline",
-    "pricing_summary",
+    "pack_sequences",
     "exact_substring_dedup",
     "lang_rollup",
     "sessionize",
@@ -58,7 +58,7 @@ HEADLINE = [
     "pq_topk",
     "embedding_neardup",
     "train_quality_perceptron",
-    "docs_without_pairs",
+    "mix_sample",
     "frontier_crawl",
 ]
 

@@ -60,7 +60,7 @@ def query(name: str, sql: str | None = None):
 
 
 # shared oracle snippets: the label-bucketed embedding near-pair join
-# (one copy — embedding_neardup / docs_without_pairs / dedup_components
+# (one copy — embedding_neardup / dedup_components
 # all quote it, so a threshold change can't fork them)
 _EMB_E_SQL = "SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings"
 _NEAR_PAIRS_SQL = """
@@ -316,7 +316,8 @@ def q_train_quality_perceptron(spark, sf_dir):
     aggregation; only 5 weight integers + a count cross the driver per
     iteration (broadcast-Lloyd's classifier twin, operators/kmeans.py).
     Replaces the redundant EXCEPT demo `neardup_not_exact` on the
-    50-cap board (set-negation stays covered by `docs_without_pairs`)."""
+    50-cap board (set-negation stays covered by training_keep_list's
+    left_anti stage)."""
     docs = _t(spark, sf_dir, "documents")
     ws = words_col(F.lower(F.col("text")))
     n = F.size(ws).cast("long")
@@ -387,27 +388,53 @@ def q_train_quality_perceptron(spark, sf_dir):
     )
 
 
-@query(
-    "docs_without_pairs",
-    f"""
-    WITH e AS ({_EMB_E_SQL}),
-    near AS ({_NEAR_PAIRS_SQL})
-    SELECT vec_id FROM e
-    WHERE vec_id NOT IN (SELECT a FROM near) AND vec_id NOT IN (SELECT b FROM near)
-    """,
-)
-def q_docs_without_pairs(spark, sf_dir):
-    """Anti-join coverage: vectors untouched by any near-dup pair (the
-    keep-set after dedup candidate generation).  Near pairs come from
-    the shared block-GEMM kernel — no per-pair lambda cosine."""
-    near = _neardup_pairs_gemm(spark, sf_dir)
-    touched = (
-        near.select(F.col("a").alias("vec_id"))
-        .unionByName(near.select(F.col("b").alias("vec_id")))
-        .distinct()
+def _mix_sql() -> str:
+    from .operators.mixing import PPM, doc_hash_ppm_sql
+
+    hash_expr = doc_hash_ppm_sql("t.doc_id")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                  AS BIGINT) AS n_tok
+      FROM documents),
+    k AS (SELECT lang, sum(n_tok) AS ktok FROM t GROUP BY lang),
+    g AS (SELECT sum(ktok) AS total, count(*) AS n_keys FROM k),
+    r AS (SELECT lang,
+                 CASE WHEN k.ktok <= 0 THEN {PPM}
+                      ELSE least({PPM}, (g.total * {PPM}) // (g.n_keys * k.ktok))
+                 END AS rate_ppm
+          FROM k, g)
+    SELECT t.doc_id, t.lang, t.n_tok, CAST(r.rate_ppm AS BIGINT) AS rate_ppm
+    FROM t JOIN r USING (lang)
+    WHERE {hash_expr} < r.rate_ppm
+    """
+
+
+@query("mix_sample", _mix_sql())
+def q_mix_sample(spark, sf_dir):
+    """Deterministic source-mixing sampler (The Pile / Llama / DoReMi
+    shape): per-language token totals set integer ppm sampling rates
+    targeting uniform token shares, applied with an engine-portable
+    multiplicative doc-id hash — the kept SET is reproducible and
+    oracle-checked, not just its size.  Scale shape: the rate table is
+    one partial-aggregable groupBy (|langs| rows) broadcast into a
+    map-only filter; no shuffle touches the corpus
+    (operators/mixing.py).  Rotates the generic set-negation demo
+    `docs_without_pairs` off the 50-cap board (anti-join coverage
+    stays on training_keep_list's left_anti stage)."""
+    from .operators.mixing import mix_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.coalesce(word_count_col(F.col("text")), F.lit(0))
+        .cast("long")
+        .alias("n_tok"),
     )
-    emb = _t(spark, sf_dir, "embeddings")
-    return emb.select("vec_id").join(touched, "vec_id", "left_anti")
+    return mix_sample(t, "lang")
 
 
 _CHAR_BINS = "[0, 100, 200, 400, 800, 1600, 3200, 6400]"
@@ -1216,8 +1243,9 @@ def q_embedding_neardup(spark, sf_dir):
 
 def _neardup_pairs_gemm(spark, sf_dir, threshold: float = 0.3) -> DataFrame:
     """Label-bucketed near-dup candidate pairs ``(a, b)``, a < b, shared
-    by embedding_neardup / docs_without_pairs (neardup_not_exact was
-    rotated off the board for train_quality_perceptron).
+    by embedding_neardup / dedup_components (neardup_not_exact and
+    docs_without_pairs were rotated off the board for
+    train_quality_perceptron / mix_sample).
 
     Block-local GEMM: one numpy matmul per bucket — the 100TB ANN shape
     (an expression-level pair join pays interpreted lambda cost per
@@ -1992,36 +2020,54 @@ def q_complete_links(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# relational operator coverage (TPC-H-ish + events)
+# training-sequence assembly (documents)
 # ---------------------------------------------------------------------------
 
+_PACK_L = 128  # training-sequence length in tokens; ~54-word docs make
+# most chunks multi-doc and many docs chunk-spanning at this length
+
+
 @query(
-    "pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
-           CAST(count(*) AS BIGINT) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
+    "pack_sequences",
+    f"""
+    WITH w AS ({_WORDS_SQL}),
+    t AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tok
+          FROM w WHERE len(words) > 0),
+    s AS (SELECT doc_id, n_tok,
+                 CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT)
+                   AS off
+          FROM t),
+    seg AS (SELECT doc_id, off, n_tok,
+                   unnest(generate_series(off // {_PACK_L},
+                                          (off + n_tok - 1) // {_PACK_L}))
+                     AS chunk_id
+            FROM s)
+    SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+           CAST(greatest(off, chunk_id * {_PACK_L}) - chunk_id * {_PACK_L}
+                AS BIGINT) AS seg_offset,
+           CAST(least(off + n_tok, (chunk_id + 1) * {_PACK_L})
+                - greatest(off, chunk_id * {_PACK_L}) AS BIGINT) AS seg_tokens
+    FROM seg
     """,
 )
-def q_pricing_summary(spark, sf_dir):
-    """TPC-H Q1-shaped hash aggregation with decimal-exact sums
-    (engine-portable float determinism)."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp")
-    )
-    qty = F.sum(F.col("l_quantity").cast("decimal(20,2)"))
-    price = F.sum(F.col("l_extendedprice").cast("decimal(20,2)"))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        qty.cast("double").alias("sum_qty"),
-        price.cast("double").alias("sum_base_price"),
-        F.round(qty.cast("double") / F.count("*"), 6).alias("avg_qty"),
-        F.count("*").alias("count_order"),
-    )
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (GPT-2/3, Llama pretraining):
+    concatenate the tokenized corpus in doc_id order and slice every
+    _PACK_L tokens; emit the (chunk, doc) segment map.  The oracle's
+    global window cumsum is semantically what the operator computes,
+    but the Spark plan uses the two-pass distributed prefix sum of
+    operators/packing.py (bucket subtotals -> tiny-frame cumsum ->
+    broadcast -> in-bucket window) so no full-corpus single-partition
+    sort exists at 100 TB.  Rotates the generic TPC-H Q1 demo
+    `pricing_summary` off the 50-cap board (hash-agg + decimal-sum
+    shapes stay covered by order_outcomes / lm_bigram_score)."""
+    from .operators.packing import pack_segments
+
+    docs = _t(spark, sf_dir, "documents")
+    ntok = docs.select(
+        "doc_id", word_count_col(F.col("text")).cast("long").alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    return pack_segments(ntok, _PACK_L)
 
 
 _ESUB_K = 15  # duplicated-run window, in words (Lee et al. use 50 BPE

@@ -23,9 +23,9 @@ def plan(spark, name):
 
 
 def test_filter_pushdown_reaches_parquet(spark):
-    p = plan(spark, "pricing_summary")
+    p = plan(spark, "embedding_topk")
     pushed = " ".join(pushed_filters(p))
-    assert "l_shipdate" in pushed, p
+    assert "vec_id" in pushed, p
 
 
 def test_column_pruning(spark):
@@ -42,7 +42,7 @@ def test_small_dims_broadcast(spark):
 
 
 def test_partial_aggregation(spark):
-    assert has_partial_aggregation(plan(spark, "pricing_summary"))
+    assert has_partial_aggregation(plan(spark, "mix_sample"))
     assert has_partial_aggregation(plan(spark, "lang_freq"))
 
 
@@ -51,7 +51,7 @@ def test_whole_stage_codegen_active(spark):
     # statically planned query
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        p = plan(spark, "pricing_summary")
+        p = plan(spark, "lang_freq")
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert codegen_stage_count(p) >= 1, p
