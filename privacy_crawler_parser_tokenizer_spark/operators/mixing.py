@@ -61,6 +61,10 @@ def mix_rates(doc_tokens: DataFrame, key: str) -> DataFrame:
 
     ``doc_tokens`` needs columns ``key`` and ``n_tok``.  Returns the
     tiny frame (key, rate_ppm) — broadcast it into the filter.
+
+    The rate numerator is ``total_tokens * 1e6`` in int64: exact below
+    ~9.2e12 total tokens (about 40 TB of text).  Beyond that, cast the
+    token totals to decimal on both engines before trusting the ppm.
     """
     per_key = doc_tokens.groupBy(key).agg(F.sum("n_tok").alias("ktok"))
     # corpus totals via a window over the |keys|-row frame (single tiny

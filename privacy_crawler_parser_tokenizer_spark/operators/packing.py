@@ -46,7 +46,10 @@ def pack_segments(
     if seq_len <= 0 or bucket_width <= 0:
         raise ValueError("seq_len and bucket_width must be positive")
 
-    b = doc_tokens.select(
+    # belt-and-braces: a zero-token row would make the chunk-range
+    # sequence() run DESCENDING (start > stop) and emit garbage
+    # segments — drop such rows here, not just at the caller
+    b = doc_tokens.filter(F.col("n_tok") > 0).select(
         "doc_id",
         F.col("n_tok").cast("long").alias("n_tok"),
         F.expr(f"doc_id div {bucket_width}").alias("bucket"),

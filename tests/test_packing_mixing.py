@@ -160,6 +160,20 @@ def test_pack_rejects_bad_params(spark):
         pack_segments(df, 8, bucket_width=0)
 
 
+def test_pack_drops_zero_token_rows(spark):
+    """A zero-token row must not poison the segment map: sequence()
+    with start > stop runs DESCENDING, so an unguarded n_tok=0 doc on
+    a chunk boundary would emit garbage segments."""
+    rows = [(0, 7), (1, 0), (2, 3)]  # doc 1 sits exactly on the boundary
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        (r.chunk_id, r.doc_id, r.seg_offset, r.seg_tokens)
+        for r in pack_segments(df, 7).collect()
+    }
+    assert got == pack_reference([(0, 7), (2, 3)], 7)
+    assert all(t > 0 for _, _, _, t in got)
+
+
 def test_pack_plan_no_global_doc_window(spark):
     """The only unpartitioned window may run over the tiny per-bucket
     subtotal frame; the doc-frame cumsum must be partitioned by bucket,
