@@ -97,9 +97,15 @@ def mix_sample(doc_tokens: DataFrame, key: str) -> DataFrame:
     as (doc_id, key, n_tok, rate_ppm) — deterministic for a given
     corpus, independent of partitioning and run order.
     """
-    rates = mix_rates(doc_tokens, key)
+    rates = mix_rates(doc_tokens, key).withColumnRenamed(key, "_mix_key")
+    # null-safe join: groupBy puts NULL keys in their own group (they
+    # count in total/n_keys), so the rate lookup must not drop them —
+    # a plain equi-join would silently lose every NULL-key doc
     return (
-        doc_tokens.join(F.broadcast(rates), key)
+        doc_tokens.join(
+            F.broadcast(rates),
+            F.col(key).eqNullSafe(F.col("_mix_key")),
+        )
         .filter(doc_hash_ppm(F.col("doc_id")) < F.col("rate_ppm"))
         .select("doc_id", key, "n_tok", "rate_ppm")
     )

@@ -35,8 +35,9 @@ def pack_segments(
     """Map each doc to the training sequences it fills.
 
     ``doc_tokens`` must have columns ``doc_id`` (non-negative integral,
-    the packing order) and ``n_tok`` (> 0).  Returns one row per
-    (chunk, doc) segment:
+    UNIQUE — it IS the packing order; duplicate ids make the prefix sum
+    ill-defined and the segment maps overlap, so dedupe upstream) and
+    ``n_tok`` (> 0).  Returns one row per (chunk, doc) segment:
 
       chunk_id   — training-sequence index (seq_len tokens each)
       doc_id     — contributing document

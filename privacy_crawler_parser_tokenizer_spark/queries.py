@@ -407,7 +407,7 @@ def _mix_sql() -> str:
                  END AS rate_ppm
           FROM k, g)
     SELECT t.doc_id, t.lang, t.n_tok, CAST(r.rate_ppm AS BIGINT) AS rate_ppm
-    FROM t JOIN r USING (lang)
+    FROM t JOIN r ON t.lang IS NOT DISTINCT FROM r.lang
     WHERE {hash_expr} < r.rate_ppm
     """
 
@@ -2027,9 +2027,8 @@ _PACK_L = 128  # training-sequence length in tokens; ~54-word docs make
 # most chunks multi-doc and many docs chunk-spanning at this length
 
 
-@query(
-    "pack_sequences",
-    f"""
+def _pack_sql(L: int) -> str:
+    return f"""
     WITH w AS ({_WORDS_SQL}),
     t AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tok
           FROM w WHERE len(words) > 0),
@@ -2038,18 +2037,20 @@ _PACK_L = 128  # training-sequence length in tokens; ~54-word docs make
                    AS off
           FROM t),
     seg AS (SELECT doc_id, off, n_tok,
-                   unnest(generate_series(off // {_PACK_L},
-                                          (off + n_tok - 1) // {_PACK_L}))
+                   unnest(generate_series(off // {L},
+                                          (off + n_tok - 1) // {L}))
                      AS chunk_id
             FROM s)
     SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
-           CAST(greatest(off, chunk_id * {_PACK_L}) - chunk_id * {_PACK_L}
+           CAST(greatest(off, chunk_id * {L}) - chunk_id * {L}
                 AS BIGINT) AS seg_offset,
-           CAST(least(off + n_tok, (chunk_id + 1) * {_PACK_L})
-                - greatest(off, chunk_id * {_PACK_L}) AS BIGINT) AS seg_tokens
+           CAST(least(off + n_tok, (chunk_id + 1) * {L})
+                - greatest(off, chunk_id * {L}) AS BIGINT) AS seg_tokens
     FROM seg
-    """,
-)
+    """
+
+
+@query("pack_sequences", _pack_sql(_PACK_L))
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing (GPT-2/3, Llama pretraining):
     concatenate the tokenized corpus in doc_id order and slice every
@@ -2059,8 +2060,11 @@ def q_pack_sequences(spark, sf_dir):
     operators/packing.py (bucket subtotals -> tiny-frame cumsum ->
     broadcast -> in-bucket window) so no full-corpus single-partition
     sort exists at 100 TB.  Rotates the generic TPC-H Q1 demo
-    `pricing_summary` off the 50-cap board (hash-agg + decimal-sum
-    shapes stay covered by order_outcomes / lm_bigram_score)."""
+    `pricing_summary` off the 50-cap board; hash-agg shapes stay
+    covered by lang_freq / order_outcomes, while pricing_summary's
+    decimal-SUM and timestamp-pushdown parity demos leave the board
+    with it (both were generic-engine demos, not reference or
+    pipeline semantics)."""
     from .operators.packing import pack_segments
 
     docs = _t(spark, sf_dir, "documents")

@@ -125,10 +125,9 @@ def test_pack_oracle_matches_reference_on_edges(spark, pack_corpus):
     con = duckdb.connect()
     con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
-    from privacy_crawler_parser_tokenizer_spark.queries import ORACLE_SQL
+    from privacy_crawler_parser_tokenizer_spark.queries import _pack_sql
 
-    sql = ORACLE_SQL["pack_sequences"].replace(str(_PACK_L), "7")
-    got = {tuple(r) for r in con.execute(sql).fetchall()}
+    got = {tuple(r) for r in con.execute(_pack_sql(7)).fetchall()}
     assert got == pack_reference(pack_corpus, 7)
 
     import os
@@ -203,11 +202,13 @@ def test_pack_plan_no_global_doc_window(spark):
 def mix_corpus():
     # 'big' holds ~8x the tokens of each minority key -> downsampled;
     # 'tiny' and 'mid' cap at PPM; 'zero' has only zero-token docs
-    # (rate PPM by the zero-cost rule).
+    # (rate PPM by the zero-cost rule); the NULL key is its own group
+    # and must survive the rate join (null-safe), not silently vanish.
     docs = [(i, "big", 40) for i in range(40)]
     docs += [(100 + i, "mid", 20) for i in range(10)]
     docs += [(200 + i, "tiny", 5) for i in range(8)]
     docs += [(300, "zero", 0), (301, "zero", 0)]
+    docs += [(400 + i, None, 10) for i in range(4)]
     return docs
 
 
@@ -216,9 +217,10 @@ def test_mix_reference_anchors(mix_corpus):
     rates = {k: r for _, k, _, r in kept}
     assert rates["mid"] == PPM and rates["tiny"] == PPM
     assert rates["zero"] == PPM
+    assert rates[None] == PPM  # NULL group: minority, capped, KEPT
     assert 0 < rates["big"] < PPM  # genuinely downsampled
-    # every mid/tiny/zero doc survives (rate == PPM admits all buckets)
-    assert sum(1 for _, k, _, _ in kept if k != "big") == 20
+    # every mid/tiny/zero/NULL doc survives (rate == PPM admits all)
+    assert sum(1 for _, k, _, _ in kept if k != "big") == 24
     assert 0 < sum(1 for _, k, _, _ in kept if k == "big") < 40
 
 
@@ -231,7 +233,9 @@ def test_mix_sample_matches_reference(spark, mix_corpus):
     assert got == mix_reference(mix_corpus)
 
 
-def test_mix_oracle_matches_reference_on_edges(mix_corpus):
+def test_mix_oracle_matches_reference_on_edges(spark, mix_corpus):
+    """BOTH engines on the text-level corpus: NULL text counts 0
+    tokens (like ''), NULL lang is its own surviving group."""
     texts = [
         (d, k, None if d == 300 else " ".join(f"t{d}_{i}" for i in range(n)))
         for d, k, n in mix_corpus
@@ -241,6 +245,19 @@ def test_mix_oracle_matches_reference_on_edges(mix_corpus):
     con.executemany("INSERT INTO documents VALUES (?, ?, ?)", texts)
     got = {tuple(r) for r in con.execute(_mix_sql()).fetchall()}
     assert got == mix_reference(mix_corpus)
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            texts, "doc_id long, lang string, text string"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        spark_got = {
+            (r.doc_id, r.lang, r.n_tok, r.rate_ppm)
+            for r in q_mix_sample(spark, td).collect()
+        }
+    assert spark_got == mix_reference(mix_corpus)
 
 
 def test_hash_ppm_engine_parity(spark):
